@@ -1,0 +1,128 @@
+"""Deterministic synthetic corpora (FIXTURES.md F1/F2) + adapters.
+
+Two corpus sources:
+- ``synthetic_docs``: seeded generator in the BASELINE.json input_hint
+  shape (repo, path, commit, lang, content) with the tokenizer edge
+  cases from the reference unit tests baked in (hot terms, camelCase,
+  digits, hyphens, punctuation-only, empty files).
+- ``docs_from_documents``: adapter that reshapes the driver-provided
+  ``documents`` parquet (doc_id, text, lang, source, n_chars) into the
+  docs shape so the same engine runs on /root/testdata.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOCS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+_SNAKE_WORDS = [
+    "parse", "http", "request", "response", "buffer", "stream", "index",
+    "token", "merge", "block", "score", "query", "shard", "delta", "varint",
+    "posting", "lemma", "handler", "config", "writer", "reader", "cache",
+]
+_CAMEL_IDENTS = [
+    "parseHttpRequest", "buildIndexBlock", "mergeSortedRuns", "scoreTopK",
+    "readVarintDelta", "encodePostingList", "fetchRobotsTxt", "splitCamelCase",
+]
+_KEYWORDS_HOT = ["def", "import"]  # hot terms for skew tests (FIXTURES F1)
+_HYPHENATED = ["top-k", "block-max", "read-only", "varint-encoded"]
+_NL_WORDS = ["simple", "input", "string", "really", "window", "search"]
+_LANGS = ["python", "java", "text"]
+
+
+def synthetic_docs_pdf(n_docs: int, seed: int = 42) -> pd.DataFrame:
+    """Seeded docs table as pandas (driver-side; cheap up to ~10^5 rows).
+
+    Shape per FIXTURES.md F1: ~10 repos with repo-00 holding ~50% of
+    rows; ~10% of paths appear under a second commit; a few empty and
+    punctuation-only files.
+    """
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for i in range(n_docs):
+        repo = "repo-00" if rng.random() < 0.5 else f"repo-{rng.randint(1, 9):02d}"
+        path = f"src/pkg{i % 37}/mod_{i}.py"
+        commit = f"{rng.getrandbits(32):08x}"
+        lang = _LANGS[rng.randrange(len(_LANGS))]
+        r = rng.random()
+        if r < 0.01:
+            content = ""  # empty file edge case
+        elif r < 0.02:
+            content = "!!! ... ### ;;; ,,,"  # punctuation-only
+        else:
+            n_lines = rng.randint(3, 12)
+            lines = []
+            for _ in range(n_lines):
+                parts = []
+                if rng.random() < 0.9:
+                    parts.append(rng.choice(_KEYWORDS_HOT))  # hot term ~90% of docs
+                parts.append("_".join(rng.sample(_SNAKE_WORDS, rng.randint(1, 3))))
+                if rng.random() < 0.5:
+                    parts.append(rng.choice(_CAMEL_IDENTS))
+                if rng.random() < 0.3:
+                    parts.append(str(rng.randint(0, 9999)))
+                if rng.random() < 0.2:
+                    parts.append(rng.choice(_HYPHENATED))
+                if rng.random() < 0.3:
+                    parts.append(rng.choice(_NL_WORDS))
+                if rng.random() < 0.2:
+                    parts.append("the quick and simple")  # stop-word material
+                lines.append(" ".join(parts))
+            content = "\n".join(lines)
+        rows.append(
+            {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
+        )
+        if rng.random() < 0.10:  # second commit of the same path (incremental reindex)
+            rows.append(
+                {
+                    "repo": repo,
+                    "path": path,
+                    "commit": f"{rng.getrandbits(32):08x}",
+                    "lang": lang,
+                    "content": content + "\nupdated buffer handler 42",
+                }
+            )
+    return pd.DataFrame(rows, columns=DOCS_COLUMNS)
+
+
+def synthetic_docs(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFrame:
+    return spark.createDataFrame(synthetic_docs_pdf(n_docs, seed))
+
+
+def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the driver's documents parquet into the docs shape.
+
+    doc identity is deterministic: repo=source, path=doc/<doc_id>,
+    commit='00000000'. lang/content pass through.
+    """
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("00000000").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+# Reference query set (FIXTURES.md F2): mix of rare/hot/AND/relaxation/
+# stop-only/digits/identifier queries over the synthetic vocabulary.
+REFERENCE_QUERIES: list[dict] = [
+    {"query_id": 1, "query": "varint", "repo_filter": None, "offset": 0, "limit": 20},
+    {"query_id": 2, "query": "def", "repo_filter": None, "offset": 0, "limit": 20},
+    {"query_id": 3, "query": "posting merge", "repo_filter": None, "offset": 0, "limit": 20},
+    {"query_id": 4, "query": "parseHttpRequest", "repo_filter": None, "offset": 0, "limit": 20},
+    {"query_id": 5, "query": "block-max score", "repo_filter": None, "offset": 0, "limit": 20},
+    {"query_id": 6, "query": "index token merge block", "repo_filter": None, "offset": 0, "limit": 20},
+    {"query_id": 7, "query": "42", "repo_filter": None, "offset": 0, "limit": 20},
+    {"query_id": 8, "query": "simple window search", "repo_filter": "repo-00", "offset": 0, "limit": 20},
+    {"query_id": 9, "query": "buffer handler", "repo_filter": None, "offset": 10, "limit": 10},
+    {"query_id": 10, "query": "the and of", "repo_filter": None, "offset": 0, "limit": 20},  # stop-only -> error
+    {"query_id": 11, "query": "varint zzznonexistent", "repo_filter": None, "offset": 0, "limit": 20},  # relaxation
+    {"query_id": 12, "query": "read-only cache", "repo_filter": None, "offset": 0, "limit": 20},
+]

@@ -1,0 +1,182 @@
+"""Index-build dataflow (SURVEY.md §2.3 B1-B10, §7 M1/M2/M4).
+
+Stages (all DataFrame; one pandas UDF for tokenization per the
+input_hint mandate, everything else pure Catalyst):
+
+  docs(repo, path, commit, lang, content)
+    -> prepare_docs:  dedup + doc_id=xxhash64 + content_sha + tokenize
+                      (B1 field extraction, B3 fingerprint, B5 dedup)
+    -> term_freqs:    explode fields -> (doc_id, term, tf_path,
+                      tf_content) via one shuffle (B2 weighted merge)
+    -> corpus_meta:   exact int totals -> avgdl computed driver-side in
+                      Python so oracle floats match bit-exactly
+    -> term_stats:    df / ctf / idf per term, salted two-phase agg
+                      (B6 dictionary upsert + B9 hot-term skew salting)
+
+At 100 TB: prepare_docs is a single map stage (no shuffle); term_freqs
+is one hash shuffle on (doc_id, term) with map-side combine; term_stats
+is a two-phase agg whose first phase is keyed (term, salt) so a hot
+term ('def' in ~90% of files) spreads over n_salts reducers before the
+tiny final agg. Shards make every downstream stage doc-partitioned.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from posik_engine_spark import spec
+from posik_engine_spark.functions.tokenizer import tokenize_expr, tokenize_udf
+
+
+@dataclass(frozen=True)
+class CorpusMeta:
+    """Exact-integer corpus totals; avgdl derived in Python (spec.py)."""
+
+    n_docs: int
+    sum_len_path: int
+    sum_len_content: int
+
+    @property
+    def avgdl(self) -> float:
+        return (
+            spec.FIELD_WEIGHT_PATH * self.sum_len_path
+            + spec.FIELD_WEIGHT_CONTENT * self.sum_len_content
+        ) / self.n_docs
+
+    def idf(self, df: int) -> float:
+        return spec.idf(self.n_docs, df)
+
+
+def prepare_docs(
+    docs: DataFrame, n_shards: int = spec.DEFAULT_N_SHARDS, use_pandas_udf: bool = True
+) -> DataFrame:
+    """Dedup + identity + tokenize.
+
+    doc_id = xxhash64(repo, path, commit) (deterministic, no
+    monotonically_increasing_id — ids must be stable across
+    partitionings); content_sha = sha256(content) is the per-row
+    invariant vs the source table (BASELINE.json input_hint).
+    shard = pmod(doc_id, n_shards): the document-partitioned index —
+    every shard holds a complete mini-index over its docs so WAND runs
+    shard-locally (analog of the reference's per-site parallelism,
+    /root/reference/.../service/IndexingService.java:204).
+    """
+    tok = tokenize_udf if use_pandas_udf else tokenize_expr
+    return (
+        docs.dropDuplicates(["repo", "path", "commit"])
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+        .withColumn("path_tokens", tok("path"))
+        .withColumn("content_tokens", tok("content"))
+        .withColumn("len_path", F.size("path_tokens"))
+        .withColumn("len_content", F.size("content_tokens"))
+    )
+
+
+def doc_stats(prepared: DataFrame) -> DataFrame:
+    """Narrow per-doc metadata table (no content — content stays in the
+    source table and is joined back only for top-k snippets)."""
+    return prepared.select(
+        "doc_id", "repo", "path", "commit", "lang", "content_sha",
+        "shard", "len_path", "len_content",
+    )
+
+
+def term_freqs(prepared: DataFrame) -> DataFrame:
+    """(doc_id, term) -> field tfs, one shuffle with map-side combine.
+
+    Field weighting (reference LemmaUtils.java:18-48) is deferred:
+    we keep exact integer tf_path / tf_content and derive the weighted
+    tf at scoring time, so the codec stores only ints and floats are
+    recomputed identically everywhere.
+    """
+    base = prepared.select("doc_id", "shard", "len_path", "len_content",
+                           "path_tokens", "content_tokens")
+    p = base.select(
+        "doc_id", "shard", "len_path", "len_content",
+        F.explode("path_tokens").alias("term"), F.lit(1).alias("in_path"),
+    )
+    c = base.select(
+        "doc_id", "shard", "len_path", "len_content",
+        F.explode("content_tokens").alias("term"), F.lit(0).alias("in_path"),
+    )
+    return (
+        p.unionByName(c)
+        .groupBy("doc_id", "term", "shard", "len_path", "len_content")
+        .agg(
+            F.sum("in_path").cast("int").alias("tf_path"),
+            F.sum(1 - F.col("in_path")).cast("int").alias("tf_content"),
+        )
+    )
+
+
+def corpus_meta(prepared: DataFrame) -> CorpusMeta:
+    row = prepared.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("len_path").alias("slp"),
+        F.sum("len_content").alias("slc"),
+    ).collect()[0]
+    return CorpusMeta(int(row["n"]), int(row["slp"] or 0), int(row["slc"] or 0))
+
+
+def term_stats(tf: DataFrame, n_salts: int = spec.DEFAULT_N_SALTS) -> DataFrame:
+    """term -> (df, ctf) via explicit salted two-phase aggregation (B9).
+
+    Phase 1 keys on (term, salt=pmod(doc_id, n_salts)) so a term
+    occurring in ~all docs fans out over n_salts reducers; phase 2
+    combines n_salts tiny partials per term. Equivalent to the
+    single-phase groupBy (tests assert equality) but skew-proof at
+    10^12-file scale where one reducer would otherwise receive an
+    entire hot posting list.
+    """
+    partial = (
+        tf.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int"))
+        .groupBy("term", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("p_df"),
+            F.sum(F.col("tf_path") + F.col("tf_content")).alias("p_ctf"),
+        )
+    )
+    return partial.groupBy("term").agg(
+        F.sum("p_df").alias("df"), F.sum("p_ctf").alias("ctf")
+    )
+
+
+def weighted_len_expr():
+    """dl = len_path * W_path + len_content * W_content (exact op order
+    mirrored in oracle.py and spec.bm25_term_score docs)."""
+    return (
+        F.col("len_path") * F.lit(spec.FIELD_WEIGHT_PATH)
+        + F.col("len_content") * F.lit(spec.FIELD_WEIGHT_CONTENT)
+    )
+
+
+def weighted_tf_expr():
+    return (
+        F.col("tf_path") * F.lit(spec.FIELD_WEIGHT_PATH)
+        + F.col("tf_content") * F.lit(spec.FIELD_WEIGHT_CONTENT)
+    )
+
+
+def idf_map(stats: DataFrame, meta: CorpusMeta, terms: list[str]) -> dict[str, float]:
+    """Collect df for the given terms and compute idf driver-side in
+    Python (math.log) so the oracle and every engine path share the
+    exact same float."""
+    rows = stats.filter(F.col("term").isin(terms)).select("term", "df").collect()
+    return {r["term"]: meta.idf(int(r["df"])) for r in rows}
+
+
+def kernel_expr(avgdl: float):
+    """BM25 score kernel (score = idf * kernel); all-float Catalyst
+    expression mirroring spec.bm25_term_score's operation order."""
+    wtf = weighted_tf_expr()
+    dl = weighted_len_expr()
+    return (wtf * F.lit(spec.K1 + 1.0)) / (
+        wtf + F.lit(spec.K1) * (F.lit(1.0 - spec.B) + F.lit(spec.B) * dl / F.lit(avgdl))
+    )
+
+

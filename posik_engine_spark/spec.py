@@ -1,0 +1,119 @@
+"""Frozen engine constants (SURVEY.md §7 Milestone 0).
+
+Rank-identity of BM25 top-k (docIDs AND scores) across the pure-Python
+oracle, the DataFrame scoring path, and the block-max WAND path is only
+achievable if every constant and formula here is fixed first. Do not
+change these without regenerating every golden.
+
+Reference parity notes (all paths relative to /root/reference/):
+- field weights mirror the title/body weights in
+  src/main/resources/application.yml:51-63 (title=1.0, body=0.8); our
+  code-corpus analogs are `path` (1.0) and `content` (0.8) per
+  FIXTURES.md F3.
+- theta (DF-threshold stop filter) mirrors
+  service/search/SearchService.java:32 (0.97).
+- snippet window constants mirror
+  service/search/SnippetBuilder.java:40-41 (12 before, 6 after).
+- default pagination mirrors api/ApiController.java:84-85.
+- BM25 (k1=1.2, b=0.75) replaces the reference's ceil-quirk ranking per
+  the north rule in BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import math
+
+# ---------------------------------------------------------------- BM25
+K1: float = 1.2
+B: float = 0.75
+
+# Field weights (FIXTURES.md F3; reference application.yml:51-63).
+FIELD_WEIGHT_PATH: float = 1.0
+FIELD_WEIGHT_CONTENT: float = 0.8
+
+# ------------------------------------------------------- index layout
+# Posting block size: docs per compressed block (SURVEY.md §7 M0).
+BLOCK_SIZE: int = 128
+# Default number of document shards (document-partitioned index: every
+# shard holds a complete mini-index over its documents, so block-max
+# WAND runs shard-locally and the driver merges per-shard top-k).
+DEFAULT_N_SHARDS: int = 16
+# Hot-term salting threshold: terms with df > HOT_DF_RATIO * n_docs get
+# salted partial aggregation during the build (SURVEY.md §2 B9).
+HOT_DF_RATIO: float = 0.10
+DEFAULT_N_SALTS: int = 8
+
+# ------------------------------------------------------------- search
+# DF-threshold stop filter: drop query terms whose document frequency
+# >= THETA * total docs (reference LemmaRepository.java:26).
+THETA: float = 0.97
+DEFAULT_LIMIT: int = 20
+DEFAULT_OFFSET: int = 0
+# Snippet window in words (reference SnippetBuilder.java:40-41).
+SNIPPET_BEFORE: int = 12
+SNIPPET_AFTER: int = 6
+
+# ---------------------------------------------------------- tokenizer
+# Tokenizer spec (SURVEY.md §2 T1-T5, FIXTURES.md F4). Four
+# implementations must agree exactly: pandas UDF (functions/tokenizer.py),
+# Catalyst expression (same file), DuckDB SQL (entry contract), pure
+# Python oracle (oracle.py).
+#
+# Pipeline:
+#   1. camel-boundary split pass 2: ([A-Z]+)([A-Z][a-z]) -> "\1 \2"
+#   2. camel-boundary split pass 1: ([a-z0-9])([A-Z])    -> "\1 \2"
+#   3. lowercase
+#   4. extract tokens matching TOKEN_RE (ascii letters+digits, in-word
+#      hyphens kept whole — reference MorphologyServiceTest.java:71-77;
+#      digits-only tokens pass through — MorphologyService.java:34-35;
+#      snake_case splits on the underscore because '_' is not in the
+#      token class; camelCase splits via passes 1-2 — this is the code
+#      analog of the reference's 1->N normal-form expansion,
+#      MorphologyService.java:28-38)
+#   5. drop STOP_TOKENS (reference POS-garbage filter,
+#      MorphologyService.java:55-73 — conjunctions / prepositions /
+#      articles / particles; frozen english function-word list for the
+#      code corpus)
+CAMEL_PASS_2: str = r"([A-Z]+)([A-Z][a-z])"
+CAMEL_PASS_1: str = r"([a-z0-9])([A-Z])"
+TOKEN_RE: str = r"[a-z0-9]+(?:-[a-z0-9]+)*"
+
+STOP_TOKENS: frozenset[str] = frozenset(
+    {
+        # articles
+        "a", "an", "the",
+        # conjunctions
+        "and", "but", "or", "nor",
+        # prepositions
+        "of", "in", "on", "at", "by", "to", "from", "with", "as",
+        # copulas / particles
+        "is", "are", "was", "were", "be", "been", "am", "not", "no",
+    }
+)
+
+# Stop set rendered for SQL IN-lists (stable order).
+STOP_TOKENS_SORTED: tuple[str, ...] = tuple(sorted(STOP_TOKENS))
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene-style always-positive BM25 idf (SURVEY.md §7 M0)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def bm25_term_score(wtf: float, dl: float, avgdl: float, idf_val: float) -> float:
+    """BM25 per-(doc, term) score.
+
+    ``wtf`` is the field-weighted term frequency
+    (tf_path * FIELD_WEIGHT_PATH + tf_content * FIELD_WEIGHT_CONTENT);
+    ``dl`` the weighted document length
+    (len_path * FIELD_WEIGHT_PATH + len_content * FIELD_WEIGHT_CONTENT).
+    Per-doc query scores are the sum of term scores in ASCENDING TERM
+    ORDER everywhere (oracle, DataFrame path, WAND path) so float sums
+    are bit-identical across partitionings.
+
+    Operation order is part of the spec (float association matters for
+    exact rank identity): score = idf * KERNEL where
+    KERNEL = (wtf*(k1+1)) / (wtf + k1*((1-b) + (b*dl)/avgdl)).
+    """
+    kernel = (wtf * (K1 + 1.0)) / (wtf + K1 * ((1.0 - B) + (B * dl) / avgdl))
+    return idf_val * kernel

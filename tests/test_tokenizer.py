@@ -1,0 +1,97 @@
+"""Tokenizer goldens + 4-way agreement (SURVEY.md §5 rebuild test plan #1).
+
+Golden cases ported in spirit from the reference unit tests
+(/root/reference/src/test/java/.../service/MorphologyServiceTest.java).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from posik_engine_spark import spec
+from posik_engine_spark.functions.tokenizer import (
+    tokenize_expr,
+    tokenize_py,
+    tokenize_sql_duckdb,
+    tokenize_udf,
+)
+
+GOLDENS = [
+    # reference MorphologyServiceTest.java:26-32 — lowercase + stop removal
+    (
+        "This is a simple input string, really SIMPLE one!",
+        ["this", "simple", "input", "string", "really", "simple", "one"],
+    ),
+    # :35-68 — empty / whitespace / punctuation-only -> []
+    ("", []),
+    ("   \n\t  ", []),
+    ("!!! ... ### ;;; ,,,", []),
+    # :53-59 — digits kept
+    ("31 июня", ["31"]),
+    ("line 42 value 007", ["line", "42", "value", "007"]),
+    # :71-77 — hyphenated words kept whole
+    ("block-max top-k pruning", ["block-max", "top-k", "pruning"]),
+    # spec §7 M0 — identifier splitting (1->N expansion analog)
+    ("parseHttpRequest", ["parse", "http", "request"]),
+    ("snake_case_name", ["snake", "case", "name"]),
+    ("HTTPServer XMLParser", ["http", "server", "xml", "parser"]),
+    # stop words only -> []
+    ("the and of in on", []),
+    # mixed code line
+    ("def parse_http(x): return x-1", ["def", "parse", "http", "x", "return", "x-1"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS)
+def test_python_goldens(text, expected):
+    assert tokenize_py(text) == expected
+
+
+def test_none_is_empty():
+    assert tokenize_py(None) == []
+
+
+def test_four_way_agreement(spark):
+    texts = [t for t, _ in GOLDENS] + [
+        "ImportError while importing def-block 3-14-159",
+        "A--B  __x__ 0xDEADbeef CamelCASEMix endsWithCap_X",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got_udf = {
+        r["id"]: r["toks"]
+        for r in df.select("id", tokenize_udf("text").alias("toks")).collect()
+    }
+    got_expr = {
+        r["id"]: r["toks"]
+        for r in df.select("id", tokenize_expr("text").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    got_sql = dict(
+        con.execute(
+            f"SELECT i, {tokenize_sql_duckdb('t')} FROM (SELECT unnest(range({len(texts)})) i, "
+            f"unnest($1) t)",
+            [texts],
+        ).fetchall()
+    )
+    for i, t in enumerate(texts):
+        expect = tokenize_py(t)
+        assert got_udf[i] == expect, (t, got_udf[i], expect)
+        assert got_expr[i] == expect, (t, got_expr[i], expect)
+        assert got_sql[i] == expect, (t, got_sql[i], expect)
+
+
+def test_expr_stays_jvm_side(spark):
+    """tokenize_expr must not invoke a Python worker (whole-stage codegen)."""
+    df = spark.createDataFrame([("a",)], "text string")
+    plan = df.select(tokenize_expr("text")).queryExecution().executedPlan().toString() \
+        if hasattr(df, "queryExecution") else \
+        df.select(tokenize_expr("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stop_tokens_frozen():
+    # guard against accidental spec drift: stop set is part of rank identity
+    assert "the" in spec.STOP_TOKENS and "def" not in spec.STOP_TOKENS
+    assert len(spec.STOP_TOKENS) == 25
