@@ -1,0 +1,184 @@
+"""Block-max WAND top-k over the sharded block index (SURVEY.md §7 M2).
+
+AND-semantics top-k (a doc must contain all query terms — reference
+/root/reference/.../service/DatabaseService.java:215-223) with the
+three pruning levers of the north rule:
+
+1. rarest-first posting intersection (reference orders lemmas by
+   frequency ascending, repositories/LemmaRepository.java:27): the
+   shortest list seeds the candidate set; subsequent lists only decode
+   blocks whose [doc_id_min, doc_id_max] overlaps surviving candidates;
+2. block-max upper bounds: per-candidate ub = Σ_t idf_t *
+   max_kernel(block containing the doc) — an exact upper bound on the
+   true score since kernel is recomputed bit-identically at decode;
+3. WAND-style early termination: candidates scored in descending-ub
+   chunks; once the running kth score strictly exceeds the next chunk's
+   ub, the remainder cannot enter the top-k (ties lose by the strict
+   inequality), so scoring stops.
+
+Execution model: each shard is a complete mini-index over its docs, so
+the whole algorithm runs inside one cogrouped grouped-map UDF per shard
+(vectorized numpy), emitting a per-shard top-k that a driver-side
+TakeOrderedAndProject merges — no cross-shard shuffle of postings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from posik_engine_spark import spec
+from posik_engine_spark.operators.index import Index, kernel_np
+
+_OUT_SCHEMA = "doc_id long, score double"
+_CHUNK = 1024
+
+
+def _decode_blocks(bpdf: pd.DataFrame, lo: np.ndarray | None = None):
+    """Decode the blocks of one term, optionally pruned to blocks whose
+    doc-id range intersects candidate ids ``lo`` (sorted)."""
+    from posik_engine_spark.functions import codec
+
+    if lo is not None and len(bpdf):
+        bmin = bpdf["doc_id_min"].to_numpy(np.int64)
+        bmax = bpdf["doc_id_max"].to_numpy(np.int64)
+        # block overlaps candidates iff some candidate in [bmin, bmax]
+        left = np.searchsorted(lo, bmin, side="left")
+        keep = (left < len(lo)) & (lo[np.minimum(left, len(lo) - 1)] <= bmax)
+        bpdf = bpdf[keep]
+    ids_parts, tfp_parts, tfc_parts, maxk_parts = [], [], [], []
+    for r in bpdf.itertuples(index=False):
+        ids = codec.decode_doc_ids(r.docs)
+        ids_parts.append(ids)
+        tfp_parts.append(codec.decode_counts(r.tfp))
+        tfc_parts.append(codec.decode_counts(r.tfc))
+        maxk_parts.append(np.full(len(ids), r.max_kernel))
+    if not ids_parts:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z, np.empty(0, dtype=np.float64)
+    return (
+        np.concatenate(ids_parts),
+        np.concatenate(tfp_parts),
+        np.concatenate(tfc_parts),
+        np.concatenate(maxk_parts),
+    )
+
+
+def shard_topk(
+    blocks_pdf: pd.DataFrame,
+    stats_pdf: pd.DataFrame,
+    terms_rarest_first: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    repos: list[str] | None = None,
+) -> pd.DataFrame:
+    """Pure-pandas/numpy shard-local block-max WAND (unit-testable
+    without Spark; the grouped-map UDF delegates here)."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64")})
+    by_term = dict(tuple(blocks_pdf.groupby("term", sort=False)))
+    if any(t not in by_term for t in terms_rarest_first):
+        return empty  # AND: some term absent from this shard entirely
+
+    # --- rarest-first intersection with block-range pruning
+    t0 = terms_rarest_first[0]
+    cand, tfp0, tfc0, maxk0 = _decode_blocks(
+        by_term[t0].sort_values("block_id", kind="mergesort")
+    )
+    aligned: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {
+        t0: (tfp0, tfc0, maxk0)
+    }
+    for t in terms_rarest_first[1:]:
+        ids_t, tfp_t, tfc_t, maxk_t = _decode_blocks(
+            by_term[t].sort_values("block_id", kind="mergesort"), lo=cand
+        )
+        common, ia, ib = np.intersect1d(
+            cand, ids_t, assume_unique=True, return_indices=True
+        )
+        if len(common) == 0:
+            return empty
+        for prev, (a, b, c) in aligned.items():
+            aligned[prev] = (a[ia], b[ia], c[ia])
+        aligned[t] = (tfp_t[ib], tfc_t[ib], maxk_t[ib])
+        cand = common
+
+    # --- doc metadata lookup (lens for BM25, repo scope)
+    sids = stats_pdf["doc_id"].to_numpy(np.int64)
+    order = np.argsort(sids, kind="mergesort")
+    sids = sids[order]
+    pos = np.searchsorted(sids, cand)
+    found = (pos < len(sids)) & (sids[np.minimum(pos, len(sids) - 1)] == cand)
+    if repos is not None:
+        repo_arr = stats_pdf["repo"].to_numpy()[order]
+        found &= np.isin(repo_arr[np.minimum(pos, len(sids) - 1)], repos)
+    if not found.all():
+        cand = cand[found]
+        pos = pos[found]
+        aligned = {t: (a[found], b[found], c[found]) for t, (a, b, c) in aligned.items()}
+    if len(cand) == 0:
+        return empty
+    lenp = stats_pdf["len_path"].to_numpy(np.int64)[order][pos]
+    lenc = stats_pdf["len_content"].to_numpy(np.int64)[order][pos]
+
+    # --- block-max upper bounds + chunked early-terminated scoring
+    ub = np.zeros(len(cand), dtype=np.float64)
+    for t in terms_rarest_first:
+        ub += idfs[t] * aligned[t][2]
+    by_ub = np.argsort(-ub, kind="mergesort")
+
+    terms_asc = sorted(terms_rarest_first)  # score fold order (spec.py)
+    scored_idx: list[np.ndarray] = []
+    scored_val: list[np.ndarray] = []
+    n_scored = 0
+    kth = -np.inf
+    for c0 in range(0, len(by_ub), _CHUNK):
+        chunk = by_ub[c0 : c0 + _CHUNK]
+        if n_scored >= k and ub[chunk[0]] < kth:
+            break  # WAND cut: no remaining candidate can reach the top-k
+        acc = np.zeros(len(chunk), dtype=np.float64)
+        for t in terms_asc:
+            tfp_t, tfc_t, _ = aligned[t]
+            acc = acc + idfs[t] * kernel_np(
+                tfp_t[chunk], tfc_t[chunk], lenp[chunk], lenc[chunk], avgdl
+            )
+        scored_idx.append(chunk)
+        scored_val.append(acc)
+        n_scored += len(chunk)
+        if n_scored >= k:
+            allv = np.concatenate(scored_val)
+            kth = np.partition(allv, len(allv) - k)[len(allv) - k]
+
+    idx = np.concatenate(scored_idx)
+    val = np.concatenate(scored_val)
+    sel = np.lexsort((cand[idx], -val))[:k]
+    return pd.DataFrame({"doc_id": cand[idx][sel], "score": val[sel]})
+
+
+def wand_topk(
+    ix: Index,
+    term_idfs: dict[str, float],
+    term_dfs: dict[str, int],
+    k: int,
+    repos: list[str] | None = None,
+) -> DataFrame:
+    """Distributed top-k: per-shard WAND UDF + driver merge."""
+    terms = sorted(term_idfs, key=lambda t: (term_dfs.get(t, 0), t))
+    if not terms:
+        raise ValueError("wand_topk: empty term list")
+    avgdl = ix.meta.avgdl
+    idfs = dict(term_idfs)
+
+    def per_shard(_key, blocks_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        return shard_topk(blocks_pdf, stats_pdf, terms, idfs, avgdl, k, repos=repos)
+
+    qb = ix.blocks.filter(F.col("term").isin(terms))
+    ds = ix.doc_stats.select("shard", "doc_id", "len_path", "len_content", "repo")
+    res = (
+        qb.groupBy("shard")
+        .cogroup(ds.groupBy("shard"))
+        .applyInPandas(per_shard, _OUT_SCHEMA)
+    )
+    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
