@@ -1,0 +1,189 @@
+"""Search API (SURVEY.md §3.1 trace, §7 M3) — the reference's
+GET /api/search re-expressed as a Python API over the sharded index.
+
+search(query, repo=None, offset=0, limit=20) mirrors
+/root/reference/.../api/ApiController.java:81-94 parameters and error
+semantics: empty query -> error; all-stop-words -> error
+(SearchService.java:50-52); no hits -> relaxation (drop rarest term,
+SearchService.java:101-114) until hit or empty.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posik_engine_spark import spec
+from posik_engine_spark.functions.snippet import build_snippet, title_for_path
+from posik_engine_spark.functions.tokenizer import tokenize_py
+from posik_engine_spark.operators.index import Index, build_index
+from posik_engine_spark.operators.wand import wand_topk
+from posik_engine_spark.oracle import SearchError
+
+RESULT_SCHEMA = (
+    "doc_id long, repo string, uri string, title string, snippet string, "
+    "relevance double, score double"
+)
+
+
+@dataclass
+class SearchResponse:
+    """Analog of dto/SearchResponse.java:69-74."""
+
+    result: bool
+    message: str
+    count: int
+    data: DataFrame
+    surviving_terms: list[str]
+    elapsed_sec: float
+
+
+class SearchEngine:
+    """Index + content store + query-side semantics."""
+
+    def __init__(self, spark: SparkSession, ix: Index, docs: DataFrame):
+        self.spark = spark
+        self.ix = ix
+        # content joined back only for the top-k (content never enters
+        # the scoring plan — column pruning by construction)
+        self._content = docs.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            "repo", "path", "content",
+        )
+
+    @classmethod
+    def from_docs(
+        cls, spark: SparkSession, docs: DataFrame, n_shards: int = spec.DEFAULT_N_SHARDS
+    ) -> "SearchEngine":
+        return cls(spark, build_index(docs, n_shards=n_shards), docs)
+
+    # ---------------------------------------------------------- Q2/Q3
+    def filter_query_terms(self, raw_terms: list[str]) -> list[str]:
+        """DF-threshold stop filter + rarest-first (CTF asc) ordering.
+
+        Reference: repositories/LemmaRepository.java:17-32 with
+        theta=0.97 against the GLOBAL doc count (SURVEY.md §8.3);
+        ordering by collection frequency ascending, term asc tie-break.
+        Unknown terms (df=0) sort to the front; the relaxation loop
+        strips them when they produce an empty AND.
+        """
+        seen: list[str] = []
+        for t in raw_terms:
+            if t not in seen:
+                seen.append(t)
+        info = self.ix.term_info(seen)  # driver-side; |q| rows
+        keep = []
+        for t in seen:
+            df = info.get(t, (0.0, 0, 0))[1]
+            if df < spec.THETA * self.ix.meta.n_docs:
+                keep.append(t)
+        return sorted(keep, key=lambda t: (info.get(t, (0.0, 0, 0))[2], t))
+
+    # ------------------------------------------------------- Q4/Q5/Q6
+    def _topk(self, terms: list[str], k: int, repos: list[str] | None):
+        info = self.ix.term_info(terms)
+        if any(t not in info for t in terms):
+            return []  # unknown term -> empty AND result
+        idfs = {t: v[0] for t, v in info.items()}
+        dfs = {t: v[1] for t, v in info.items()}
+        return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
+
+    def search(
+        self,
+        query: str,
+        repo: str | None = None,
+        offset: int = spec.DEFAULT_OFFSET,
+        limit: int = spec.DEFAULT_LIMIT,
+    ) -> SearchResponse:
+        t_start = time.time()
+        if query is None or not query.strip():
+            raise SearchError("empty query")
+        raw = tokenize_py(query)
+        if not raw:
+            raise SearchError("query contains only stop words or garbage")
+        terms = self.filter_query_terms(raw)
+        repos = [repo] if repo is not None else None
+
+        hits = []
+        while terms:
+            hits = self._topk(terms, offset + limit, repos)
+            if hits:
+                break
+            terms = terms[1:]  # drop rarest (SearchService.java:110)
+
+        window = hits[offset : offset + limit]
+        message = self._correct_query_message(query, raw, terms)
+        data = self._assemble(window, terms, hits)
+        return SearchResponse(
+            result=True,
+            message=message,
+            count=len(hits),
+            data=data,
+            surviving_terms=terms,
+            elapsed_sec=time.time() - t_start,
+        )
+
+    # ------------------------------------------------------------- Q7
+    def _correct_query_message(self, query: str, raw: list[str], terms: list[str]) -> str:
+        """Echo the human-readable query rebuilt from surviving terms
+        (reference SearchService.java:116-134): keep the original words
+        whose normal-form set intersects the surviving term list."""
+        if set(raw) <= set(terms):
+            return ""
+        surviving = set(terms)
+        kept_words = [
+            w for w in query.split() if set(tokenize_py(w)) & surviving
+        ]
+        return "corrected query: " + " ".join(kept_words)
+
+    # ---------------------------------------------------- Q8/Q9/Q10/Q11
+    def _assemble(self, window, terms: list[str], all_hits) -> DataFrame:
+        if not window:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        ids = [r["doc_id"] for r in window]
+        # k rows: broadcast-join the id list against the content store
+        content_rows = {
+            r["doc_id"]: r
+            for r in self._content.filter(F.col("doc_id").isin(ids)).collect()
+        }
+        # normalization quirk kept (SURVEY.md §8.6): divide by the max of
+        # the RETURNED window, so page 2's top row also shows 1.0
+        max_rel = window[0]["score"]
+        out = []
+        for r in window:
+            c = content_rows.get(r["doc_id"])
+            out.append(
+                (
+                    r["doc_id"],
+                    c["repo"] if c else "",
+                    c["path"] if c else "",
+                    title_for_path(c["path"] if c else ""),
+                    build_snippet(c["content"] if c else "", terms),
+                    r["score"] / max_rel,
+                    r["score"],
+                )
+            )
+        return self.spark.createDataFrame(out, RESULT_SCHEMA)
+
+    # ------------------------------------------------------- A1-A4
+    def statistics(self) -> dict:
+        """Analog of GET /api/statistics
+        (/root/reference/.../service/StatisticsService.java:23-42)."""
+        per_repo = (
+            self.ix.doc_stats.groupBy("repo")
+            .count()
+            .orderBy("repo")
+            .collect()
+        )
+        return {
+            "total": {
+                "sites": len(per_repo),
+                "pages": self.ix.meta.n_docs,
+                "lemmas": self.ix.term_stats.count(),
+                "isIndexing": False,
+            },
+            "detailed": [{"url": r["repo"], "pages": r["count"]} for r in per_repo],
+        }
