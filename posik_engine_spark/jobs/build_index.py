@@ -1,0 +1,96 @@
+"""spark-submit index-build job (SURVEY.md §3.2 rebuild trace).
+
+Launch (north-rule packaging):
+
+    python -m posik_engine_spark.jobs.package dist/engine.zip
+    spark-submit --master local[32] --py-files dist/engine.zip \
+        posik_engine_spark/jobs/build_index.py \
+        --source /root/testdata/sf0.1/documents.parquet \
+        --out /tmp/ix --n-shards 32 --shard-batches 4
+
+Flags:
+    --source        docs parquet: either input_hint shape
+                    (repo,path,commit,lang,content) or the testdata
+                    ``documents`` shape (auto-adapted)
+    --incremental   treat --source as a new snapshot and delta-reindex
+                    into --out (B8 + S6 GC)
+    --filter        SQL predicate on the source (the single-doc reindex
+                    entry point, SURVEY.md §3.3: e.g.
+                    "repo='r' AND path='p'" with --incremental)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from posik_engine_spark.operators.lifecycle import IndexBuilder, read_lineage
+
+
+def adapt_source(spark: SparkSession, path: str):
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    cols = set(df.columns)
+    if {"repo", "path", "commit", "lang", "content"} <= cols:
+        return df.select("repo", "path", "commit", "lang", "content")
+    if {"doc_id", "text", "source"} <= cols:  # driver testdata documents shape
+        return df.select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("00000000").alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+    raise SystemExit(f"unrecognized source schema: {sorted(cols)}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--n-shards", type=int, default=16)
+    p.add_argument("--shard-batches", type=int, default=1)
+    p.add_argument("--block-size", type=int, default=None)
+    p.add_argument("--incremental", action="store_true")
+    p.add_argument("--filter", default=None)
+    args = p.parse_args(argv)
+
+    spark = SparkSession.builder.appName("posik-build-index").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    docs = adapt_source(spark, args.source)
+    if args.filter:
+        docs = docs.filter(args.filter)
+
+    kw = {}
+    if args.block_size:
+        kw["block_size"] = args.block_size
+    builder = IndexBuilder(
+        spark, args.out, n_shards=args.n_shards, shard_batches=args.shard_batches, **kw
+    )
+    t0 = time.time()
+    if args.incremental:
+        ix = builder.incremental_update(docs)
+    else:
+        ix = builder.build(docs)
+    elapsed = time.time() - t0
+    report = {
+        "elapsed_sec": elapsed,
+        "n_docs": ix.meta.n_docs,
+        "files_per_sec": ix.meta.n_docs / elapsed if elapsed > 0 else None,
+        "counters": builder.counters(),
+        "stages": [
+            {"stage": r["stage"], "state": r["state"]} for r in read_lineage(args.out)
+        ],
+    }
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

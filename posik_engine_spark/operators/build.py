@@ -26,6 +26,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from posik_engine_spark import spec
 from posik_engine_spark.functions.tokenizer import tokenize_expr, tokenize_udf
@@ -87,13 +88,71 @@ def doc_stats(prepared: DataFrame) -> DataFrame:
 
 
 def term_freqs(prepared: DataFrame) -> DataFrame:
-    """(doc_id, term) -> field tfs, one shuffle with map-side combine.
+    """(doc_id, term) -> field tfs, SHUFFLE-FREE.
+
+    A doc's tokens already sit in one row, so per-(doc, term) counting
+    is a narrow map (Arrow-batched Counter per doc) + explode — no
+    groupBy exchange at all. At 100 TB this removes the widest shuffle
+    of the build (every token row); the only remaining build shuffle is
+    the compact (term,int,int,int) rows repartitioned by shard for the
+    write. Equivalent to the explode+groupBy formulation
+    (term_freqs_shuffle, kept for the equality test).
 
     Field weighting (reference LemmaUtils.java:18-48) is deferred:
-    we keep exact integer tf_path / tf_content and derive the weighted
-    tf at scoring time, so the codec stores only ints and floats are
-    recomputed identically everywhere.
+    exact integer tf_path / tf_content are stored; the weighted tf is
+    derived at scoring time so the codec stores only ints and floats
+    are recomputed identically everywhere.
     """
+    counts = _count_tokens_udf(F.col("path_tokens"), F.col("content_tokens"))
+    return (
+        prepared.select(
+            "doc_id", "shard", "len_path", "len_content",
+            F.explode(counts).alias("pc"),
+        )
+        .select(
+            "doc_id",
+            F.col("pc.term").alias("term"),
+            "shard", "len_path", "len_content",
+            F.col("pc.tfp").alias("tf_path"),
+            F.col("pc.tfc").alias("tf_content"),
+        )
+    )
+
+
+# built as DataType objects: DDL-string parsing would need a live
+# session at import time
+_COUNTS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("tfp", T.IntegerType()),
+            T.StructField("tfc", T.IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_COUNTS_TYPE)
+def _count_tokens_udf(path_tokens, content_tokens):  # pragma: no cover (executors)
+    import pandas as pd
+    from collections import Counter
+
+    out = []
+    for pt, ct in zip(path_tokens, content_tokens):
+        cp = Counter(pt if pt is not None else [])
+        cc = Counter(ct if ct is not None else [])
+        out.append(
+            [
+                {"term": t, "tfp": cp.get(t, 0), "tfc": cc.get(t, 0)}
+                for t in (cp.keys() | cc.keys())
+            ]
+        )
+    return pd.Series(out)
+
+
+def term_freqs_shuffle(prepared: DataFrame) -> DataFrame:
+    """Reference formulation (explode + groupBy); used to cross-check
+    the shuffle-free term_freqs in tests."""
     base = prepared.select("doc_id", "shard", "len_path", "len_content",
                            "path_tokens", "content_tokens")
     p = base.select(

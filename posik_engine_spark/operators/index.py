@@ -3,7 +3,7 @@
 Layout (document-partitioned, the classic distributed-IR design):
 - ``blocks``: one row per (shard, term, block_id) — up to BLOCK_SIZE
   postings per block, doc_ids delta+varint, tfs varint, per-block
-  max_kernel for block-max pruning (north rule). Docs are sharded by
+  integer score bounds for block-max pruning (north rule). Docs are sharded by
   pmod(doc_id, n_shards), so every shard is a complete mini-index over
   its own documents and top-k runs shard-locally with a driver merge.
 - ``doc_stats``: narrow per-doc metadata (lens for BM25, repo for
@@ -38,7 +38,8 @@ from posik_engine_spark.operators import build as B
 
 BLOCKS_SCHEMA = (
     "term string, shard int, block_id int, n_docs int, "
-    "doc_id_min long, doc_id_max long, max_kernel double, "
+    "doc_id_min long, doc_id_max long, "
+    "max_tfp int, max_tfc int, min_lenp int, min_lenc int, "
     "docs binary, tfp binary, tfc binary"
 )
 
@@ -55,45 +56,68 @@ def kernel_np(
     )
 
 
-def build_blocks(
-    tf: DataFrame, avgdl: float, block_size: int = spec.BLOCK_SIZE
-) -> DataFrame:
-    """term_freqs -> compressed posting blocks via grouped-map UDF."""
+def build_blocks(tf: DataFrame, block_size: int = spec.BLOCK_SIZE) -> DataFrame:
+    """term_freqs -> compressed posting blocks via grouped-map UDF.
 
-    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, shard = key[0], int(key[1])
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
+    Blocks are a PURE function of the (shard, term) posting rows — no
+    corpus-global float (avgdl/idf) is baked in. The block-max bound is
+    stored as integers (max field tfs, min field lens); the query side
+    derives ub_kernel = kernel(max_tfp, max_tfc, min_lenp, min_lenc,
+    current_avgdl), which dominates every doc's kernel in the block
+    (kernel is monotone up in wtf, down in dl). This keeps incremental
+    rebuilds shard-local: corpus stats may drift without invalidating
+    untouched shards' blocks (SURVEY.md §2 B8).
+    """
+
+    def encode_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # ONE grouped-map task per shard (not per term): at huge-vocab
+        # scale, per-(term,shard) Arrow groups cost more in group
+        # machinery than in encoding; term segmentation is a vectorized
+        # sort + boundary scan instead
+        shard = int(key[0])
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
         ids = pdf["doc_id"].to_numpy(np.int64)
         tfp = pdf["tf_path"].to_numpy(np.int64)
         tfc = pdf["tf_content"].to_numpy(np.int64)
-        kern = kernel_np(
-            tfp,
-            tfc,
-            pdf["len_path"].to_numpy(np.int64),
-            pdf["len_content"].to_numpy(np.int64),
-            avgdl,
-        )
+        lenp = pdf["len_path"].to_numpy(np.int64)
+        lenc = pdf["len_content"].to_numpy(np.int64)
+        # term run boundaries
+        change = np.flatnonzero(terms[1:] != terms[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(terms)]))
         rows = []
-        for b0 in range(0, len(ids), block_size):
-            sl = slice(b0, b0 + block_size)
-            bi, bp, bc = ids[sl], tfp[sl], tfc[sl]
-            rows.append(
-                {
-                    "term": term,
-                    "shard": shard,
-                    "block_id": b0 // block_size,
-                    "n_docs": len(bi),
-                    "doc_id_min": int(bi[0]),
-                    "doc_id_max": int(bi[-1]),
-                    "max_kernel": float(kern[sl].max()),
-                    "docs": codec.encode_doc_ids(bi),
-                    "tfp": codec.encode_counts(bp),
-                    "tfc": codec.encode_counts(bc),
-                }
-            )
-        return pd.DataFrame(rows)
+        for s, e in zip(starts, ends):
+            term = terms[s]
+            for b0 in range(s, e, block_size):
+                b1 = min(b0 + block_size, e)
+                bi = ids[b0:b1]
+                rows.append(
+                    (
+                        term,
+                        shard,
+                        (b0 - s) // block_size,
+                        b1 - b0,
+                        int(bi[0]),
+                        int(bi[-1]),
+                        int(tfp[b0:b1].max()),
+                        int(tfc[b0:b1].max()),
+                        int(lenp[b0:b1].min()),
+                        int(lenc[b0:b1].min()),
+                        codec.encode_doc_ids(bi),
+                        codec.encode_counts(tfp[b0:b1]),
+                        codec.encode_counts(tfc[b0:b1]),
+                    )
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "term", "shard", "block_id", "n_docs", "doc_id_min", "doc_id_max",
+                "max_tfp", "max_tfc", "min_lenp", "min_lenc", "docs", "tfp", "tfc",
+            ],
+        )
 
-    return tf.groupBy("term", "shard").applyInPandas(encode_group, BLOCKS_SCHEMA)
+    return tf.groupBy("shard").applyInPandas(encode_shard, BLOCKS_SCHEMA)
 
 
 @dataclass
@@ -104,6 +128,18 @@ class Index:
     doc_stats: DataFrame
     term_stats: DataFrame
     meta: B.CorpusMeta
+
+    def prepare_for_queries(self) -> "Index":
+        """Return a query-optimized handle: blocks and doc_stats
+        hash-partitioned by shard and persisted, so per-query cogrouped
+        WAND UDFs reuse the partitioning instead of reshuffling the
+        whole index on every search (exchange elided because the cached
+        plan's outputPartitioning already satisfies the grouping)."""
+        blocks = self.blocks.repartition("shard").persist()
+        ds = self.doc_stats.repartition("shard").persist()
+        stats = self.term_stats.persist()
+        blocks.count(), ds.count(), stats.count()
+        return Index(blocks=blocks, doc_stats=ds, term_stats=stats, meta=self.meta)
 
     def term_info(self, terms: list[str]) -> dict[str, tuple[float, int, int]]:
         """term -> (idf, df, ctf) for terms present in the dictionary;
@@ -132,7 +168,7 @@ def build_index(
         tf = tf.cache()
     meta = B.corpus_meta(prepared)
     stats = B.term_stats(tf)
-    blocks = build_blocks(tf, meta.avgdl)
+    blocks = build_blocks(tf)
     ds = B.doc_stats(prepared)
     if cache:
         blocks = blocks.cache()

@@ -1,0 +1,390 @@
+"""Build lifecycle: checkpointed resumable builds, lineage + counters,
+incremental delta reindex, deleted-doc GC (SURVEY.md §2 B8/B10/S6, §7 M4).
+
+This is the Spark-native replacement of the reference's status machine
+(/root/reference/.../service/IndexingMonitor.java:22-75 — per-site
+INDEXING/INDEXED/FAILED + statusTime + lastError) and its synchronized
+single-writer upsert path (service/DatabaseService.java:41-73): here
+every stage is an idempotent partition-isolated parquet write guarded
+by a marker, and state transitions are lineage records.
+
+On-disk layout (out_dir):
+    tf/                  stage "prepare": term freqs, partitioned by shard
+    doc_stats/           stage "prepare": per-doc metadata, partitioned by shard
+    term_stats/          stage "stats"
+    meta.json            stage "stats"
+    blocks/              stage "blocks[batch_i]": shard-batched writes
+    _markers/            done-flags per stage/batch (resume = skip done)
+    _lineage/            one JSON record per stage attempt: state,
+                         started/finished, error, counters
+                         (docs_tokenized, postings_emitted, blocks_merged)
+
+Resume semantics: a rerun of ``IndexBuilder.build`` skips every stage
+whose marker exists; a build killed between batches resumes exactly
+after the last committed batch and produces a byte-identical index
+(tests/test_m4_lifecycle.py). At 10^12-file scale each shard batch is
+an independent job over a partition-pruned slice of tf/, so a failed
+executor wave costs one batch, not the build.
+
+Incremental reindex: change detection via (repo, path, commit,
+content_sha) — the sha256 analog of the reference's lemmasHashcode skip
+(service/DatabaseService.java:48-51). Only changed docs are
+re-tokenized; only affected shards rewrite tf/doc_stats/blocks;
+term_stats/meta recompute declaratively from the merged tf state (no
+decrement arithmetic — SURVEY.md §2 B8). Deleted docs disappear via the
+same anti-join (S6 GC). Block score bounds are integer-only, so
+untouched shards stay valid when corpus-global avgdl/idf drift.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posik_engine_spark import spec
+from posik_engine_spark.operators import build as B
+from posik_engine_spark.operators.index import Index, build_blocks
+
+DOC_KEY = ["repo", "path", "commit", "content_sha"]
+
+
+class BuildAborted(RuntimeError):
+    """Injected-failure hook for resume tests."""
+
+
+def _marker(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, "_markers", name)
+
+
+def _done(out_dir: str, name: str) -> bool:
+    return os.path.exists(_marker(out_dir, name))
+
+
+def _commit_marker(out_dir: str, name: str) -> None:
+    os.makedirs(os.path.join(out_dir, "_markers"), exist_ok=True)
+    with open(_marker(out_dir, name), "w") as f:
+        f.write(str(time.time()))
+
+
+def _lineage_write(out_dir: str, record: dict) -> None:
+    d = os.path.join(out_dir, "_lineage")
+    os.makedirs(d, exist_ok=True)
+    fname = f"{record['stage']}-{record['attempt_ts']:.6f}.json"
+    with open(os.path.join(d, fname), "w") as f:
+        json.dump(record, f)
+
+
+def read_lineage(out_dir: str) -> list[dict]:
+    d = os.path.join(out_dir, "_lineage")
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for fn in sorted(os.listdir(d)):
+        with open(os.path.join(d, fn)) as f:
+            out.append(json.load(f))
+    return out
+
+
+class _Stage:
+    """Context manager: lineage record per attempt, marker on success."""
+
+    def __init__(self, out_dir: str, stage: str, partition_ids: list[int] | None = None):
+        self.out_dir, self.stage = out_dir, stage
+        self.partition_ids = partition_ids
+        self.counters: dict[str, int] = {}
+        self.t0 = 0.0
+
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        rec = {
+            "stage": self.stage,
+            "partition_ids": self.partition_ids,
+            "state": "FAILED" if exc else "DONE",
+            "started_at": self.t0,
+            "finished_at": time.time(),
+            "attempt_ts": self.t0,
+            "error": repr(exc) if exc else None,
+            "counters": self.counters,
+        }
+        _lineage_write(self.out_dir, rec)
+        if not exc:
+            _commit_marker(self.out_dir, self.stage)
+        return False
+
+
+def _shard_batches(n_shards: int, n_batches: int) -> list[list[int]]:
+    n_batches = max(1, min(n_batches, n_shards))
+    out: list[list[int]] = [[] for _ in range(n_batches)]
+    for s in range(n_shards):
+        out[s % n_batches].append(s)
+    return out
+
+
+class IndexBuilder:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_shards: int = spec.DEFAULT_N_SHARDS,
+        shard_batches: int = 1,
+        block_size: int = spec.BLOCK_SIZE,
+    ):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.n_shards = n_shards
+        self.shard_batches = shard_batches
+        self.block_size = block_size
+        os.makedirs(out_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ paths
+    @property
+    def tf_path(self) -> str:
+        return os.path.join(self.out_dir, "tf")
+
+    @property
+    def doc_stats_path(self) -> str:
+        return os.path.join(self.out_dir, "doc_stats")
+
+    @property
+    def term_stats_path(self) -> str:
+        return os.path.join(self.out_dir, "term_stats")
+
+    @property
+    def blocks_path(self) -> str:
+        return os.path.join(self.out_dir, "blocks")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.out_dir, "meta.json")
+
+    # ------------------------------------------------------------ build
+    def build(self, docs: DataFrame, fail_after_batch: int | None = None) -> Index:
+        """Run (or resume) the full build. Stages with existing markers
+        are skipped, making reruns after a crash idempotent."""
+        self._stage_prepare(docs)
+        self._stage_stats()
+        self._stage_blocks(fail_after_batch=fail_after_batch)
+        return self.load()
+
+    def _stage_prepare(self, docs: DataFrame) -> None:
+        if _done(self.out_dir, "prepare"):
+            return
+        with _Stage(self.out_dir, "prepare") as st:
+            from pyspark import StorageLevel
+
+            # persist the tokenized docs so the expensive tokenize UDF
+            # runs ONCE for the two derived writes (tf + doc_stats);
+            # MEMORY_AND_DISK spills cleanly at scale
+            prepared = B.prepare_docs(docs, n_shards=self.n_shards).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            tf = B.term_freqs(prepared)
+            (
+                tf.repartition("shard")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(self.tf_path)
+            )
+            (
+                B.doc_stats(prepared)
+                .repartition("shard")
+                .sortWithinPartitions("doc_id")
+                .write.mode("overwrite")
+                .partitionBy("shard")
+                .parquet(self.doc_stats_path)
+            )
+            prepared.unpersist()
+            # counters from committed files (resume-safe, metadata-cheap)
+            st.counters["docs_tokenized"] = self.spark.read.parquet(
+                self.doc_stats_path
+            ).count()
+            st.counters["postings_emitted"] = self.spark.read.parquet(
+                self.tf_path
+            ).count()
+
+    def _stage_stats(self) -> None:
+        if _done(self.out_dir, "stats"):
+            return
+        with _Stage(self.out_dir, "stats") as st:
+            tf = self.spark.read.parquet(self.tf_path)
+            (
+                B.term_stats(tf)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(self.term_stats_path)
+            )
+            ds = self.spark.read.parquet(self.doc_stats_path)
+            row = ds.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("len_path").alias("slp"),
+                F.sum("len_content").alias("slc"),
+            ).collect()[0]
+            meta = {
+                "n_docs": int(row["n"]),
+                "sum_len_path": int(row["slp"] or 0),
+                "sum_len_content": int(row["slc"] or 0),
+                "n_shards": self.n_shards,
+                "block_size": self.block_size,
+                "spec": {"k1": spec.K1, "b": spec.B},
+            }
+            with open(self.meta_path, "w") as f:
+                json.dump(meta, f)
+            st.counters["terms"] = self.spark.read.parquet(self.term_stats_path).count()
+
+    def _stage_blocks(self, fail_after_batch: int | None = None) -> None:
+        batches = _shard_batches(self.n_shards, self.shard_batches)
+        tf = self.spark.read.parquet(self.tf_path)
+        for i, shard_ids in enumerate(batches):
+            stage = f"blocks_batch_{i:04d}"
+            if _done(self.out_dir, stage):
+                continue
+            with _Stage(self.out_dir, stage, partition_ids=shard_ids) as st:
+                part = tf.filter(F.col("shard").isin(shard_ids))  # partition-pruned scan
+                blocks = build_blocks(part, block_size=self.block_size)
+                writer = (
+                    blocks.repartition("shard")
+                    .sortWithinPartitions("term", "block_id")
+                    .write.partitionBy("shard")
+                )
+                # per-shard dirs are written exactly once per index build,
+                # so append mode + per-batch markers give idempotent resume
+                writer.mode("append").parquet(self.blocks_path)
+                st.counters["blocks_merged"] = self.spark.read.parquet(
+                    self.blocks_path
+                ).filter(F.col("shard").isin(shard_ids)).count()
+            if fail_after_batch is not None and i >= fail_after_batch:
+                raise BuildAborted(f"injected failure after batch {i}")
+
+    # ------------------------------------------------------------- load
+    def load(self) -> Index:
+        with open(self.meta_path) as f:
+            m = json.load(f)
+        return Index(
+            blocks=self.spark.read.parquet(self.blocks_path),
+            doc_stats=self.spark.read.parquet(self.doc_stats_path),
+            term_stats=self.spark.read.parquet(self.term_stats_path),
+            meta=B.CorpusMeta(m["n_docs"], m["sum_len_path"], m["sum_len_content"]),
+        )
+
+    def counters(self) -> dict[str, int]:
+        agg: dict[str, int] = {}
+        for rec in read_lineage(self.out_dir):
+            if rec["state"] == "DONE":
+                for k, v in rec["counters"].items():
+                    agg[k] = agg.get(k, 0) + int(v)
+        return agg
+
+    # ------------------------------------------------- incremental (B8)
+    def incremental_update(self, snapshot: DataFrame) -> Index:
+        """Delta reindex against a new source snapshot + deleted-doc GC.
+
+        Unchanged docs (same repo/path/commit/content_sha) are never
+        re-tokenized; only shards containing changed/new/stale docs are
+        rewritten. Produces an index identical to a full rebuild of the
+        snapshot (tests assert byte-equality of blocks)."""
+        spark = self.spark
+        t0 = time.time()
+        snap_keys = (
+            snapshot.dropDuplicates(["repo", "path", "commit"])
+            .withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+        )
+        old_ds = spark.read.parquet(self.doc_stats_path)
+
+        new_or_changed = snap_keys.join(
+            old_ds.select(*DOC_KEY), DOC_KEY, "left_anti"
+        )
+        stale = old_ds.join(snap_keys.select(*DOC_KEY), DOC_KEY, "left_anti")
+
+        stale = stale.cache()
+        n_stale = stale.count()
+        stale_shards = {r["shard"] for r in stale.select("shard").distinct().collect()}
+        prepared_new = B.prepare_docs(
+            new_or_changed.select("repo", "path", "commit", "lang", "content"),
+            n_shards=self.n_shards,
+        ).cache()
+        new_shards = [r["shard"] for r in prepared_new.select("shard").distinct().collect()]
+        affected = sorted(stale_shards | set(new_shards))
+        if not affected:
+            return self.load()
+
+        # stale removal via anti-join (scales past driver-side isin lists)
+        stale_id_df = stale.select("doc_id")
+        old_tf = spark.read.parquet(self.tf_path)
+        kept_tf = old_tf.filter(F.col("shard").isin(affected)).join(
+            stale_id_df, "doc_id", "left_anti"
+        )
+        merged_tf = kept_tf.unionByName(B.term_freqs(prepared_new))
+        kept_ds = old_ds.filter(F.col("shard").isin(affected)).join(
+            stale_id_df, "doc_id", "left_anti"
+        )
+        merged_ds = kept_ds.unionByName(B.doc_stats(prepared_new))
+
+        with _Stage(self.out_dir, f"incremental_{t0:.0f}", partition_ids=affected) as st:
+            self._overwrite_shards(merged_tf, self.tf_path, affected, sort_cols=None)
+            self._overwrite_shards(
+                merged_ds, self.doc_stats_path, affected, sort_cols=["doc_id"]
+            )
+            new_blocks = build_blocks(
+                spark.read.parquet(self.tf_path).filter(F.col("shard").isin(affected)),
+                block_size=self.block_size,
+            )
+            self._overwrite_shards(
+                new_blocks, self.blocks_path, affected, sort_cols=["term", "block_id"]
+            )
+            # declarative global recompute (no decrement arithmetic)
+            tf_all = spark.read.parquet(self.tf_path)
+            B.term_stats(tf_all).coalesce(1).write.mode("overwrite").parquet(
+                self.term_stats_path
+            )
+            ds_all = spark.read.parquet(self.doc_stats_path)
+            row = ds_all.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("len_path").alias("slp"),
+                F.sum("len_content").alias("slc"),
+            ).collect()[0]
+            with open(self.meta_path) as f:
+                meta = json.load(f)
+            meta.update(
+                n_docs=int(row["n"]),
+                sum_len_path=int(row["slp"] or 0),
+                sum_len_content=int(row["slc"] or 0),
+            )
+            with open(self.meta_path, "w") as f:
+                json.dump(meta, f)
+            st.counters["docs_tokenized"] = prepared_new.count()
+            st.counters["docs_deleted"] = n_stale
+            st.counters["shards_rewritten"] = len(affected)
+        prepared_new.unpersist()
+        stale.unpersist()
+        return self.load()
+
+    def _overwrite_shards(
+        self, df: DataFrame, path: str, shards: list[int], sort_cols: list[str] | None
+    ) -> None:
+        """Replace exactly the affected shard dirs. The plan may READ
+        ``path`` itself, so the new data is staged to a sibling dir
+        first and shard dirs are swapped after the job commits —
+        parquet's stand-in for Iceberg's atomic overwritePartitions /
+        MERGE INTO (SURVEY.md §2 S4). Shards whose docs were all
+        deleted are dropped (S6 GC)."""
+        staging = path + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        w = df.repartition("shard")
+        if sort_cols:
+            w = w.sortWithinPartitions(*sort_cols)
+        w.write.mode("overwrite").partitionBy("shard").parquet(staging)
+        for s in shards:
+            dst = os.path.join(path, f"shard={s}")
+            src = os.path.join(staging, f"shard={s}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.isdir(src):
+                shutil.move(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)

@@ -31,28 +31,62 @@ RESULT_SCHEMA = (
 
 @dataclass
 class SearchResponse:
-    """Analog of dto/SearchResponse.java:69-74."""
+    """Analog of dto/SearchResponse.java:69-74.
+
+    ``hits`` holds the assembled top-k rows (already driver-side —
+    k <= limit); ``data`` materializes them as a DataFrame lazily, so
+    callers that only read hits never pay a createDataFrame round-trip.
+    """
 
     result: bool
     message: str
     count: int
-    data: DataFrame
+    hits: list[tuple]
     surviving_terms: list[str]
     elapsed_sec: float
+    _spark: SparkSession | None = None
+    _data: DataFrame | None = None
+
+    @property
+    def data(self) -> DataFrame:
+        if self._data is None:
+            self._data = self._spark.createDataFrame(self.hits, RESULT_SCHEMA)
+        return self._data
 
 
 class SearchEngine:
     """Index + content store + query-side semantics."""
 
-    def __init__(self, spark: SparkSession, ix: Index, docs: DataFrame):
+    def __init__(
+        self,
+        spark: SparkSession,
+        ix: Index,
+        docs: DataFrame,
+        optimize_for_queries: bool = True,
+    ):
         self.spark = spark
-        self.ix = ix
+        self.ix = ix.prepare_for_queries() if optimize_for_queries else ix
         # content joined back only for the top-k (content never enters
         # the scoring plan — column pruning by construction)
         self._content = docs.select(
             F.xxhash64("repo", "path", "commit").alias("doc_id"),
             "repo", "path", "content",
         )
+        if optimize_for_queries:
+            self._content = self._content.persist()
+        # driver-side memo of term stats: (idf, df, ctf) or None for
+        # out-of-vocabulary terms. Bounded by distinct queried terms —
+        # a lookup cache, not a copy of the dictionary (which stays
+        # distributed; at 10^12-file scale the dict can't fit a driver).
+        self._term_cache: dict[str, tuple[float, int, int] | None] = {}
+
+    def _term_info(self, terms: list[str]) -> dict[str, tuple[float, int, int]]:
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            fetched = self.ix.term_info(missing)
+            for t in missing:
+                self._term_cache[t] = fetched.get(t)
+        return {t: v for t in terms if (v := self._term_cache[t]) is not None}
 
     @classmethod
     def from_docs(
@@ -74,7 +108,7 @@ class SearchEngine:
         for t in raw_terms:
             if t not in seen:
                 seen.append(t)
-        info = self.ix.term_info(seen)  # driver-side; |q| rows
+        info = self._term_info(seen)  # driver-side memo; |q| rows
         keep = []
         for t in seen:
             df = info.get(t, (0.0, 0, 0))[1]
@@ -84,7 +118,7 @@ class SearchEngine:
 
     # ------------------------------------------------------- Q4/Q5/Q6
     def _topk(self, terms: list[str], k: int, repos: list[str] | None):
-        info = self.ix.term_info(terms)
+        info = self._term_info(terms)
         if any(t not in info for t in terms):
             return []  # unknown term -> empty AND result
         idfs = {t: v[0] for t, v in info.items()}
@@ -116,14 +150,15 @@ class SearchEngine:
 
         window = hits[offset : offset + limit]
         message = self._correct_query_message(query, raw, terms)
-        data = self._assemble(window, terms, hits)
+        rows = self._assemble(window, terms)
         return SearchResponse(
             result=True,
             message=message,
             count=len(hits),
-            data=data,
+            hits=rows,
             surviving_terms=terms,
             elapsed_sec=time.time() - t_start,
+            _spark=self.spark,
         )
 
     # ------------------------------------------------------------- Q7
@@ -140,9 +175,9 @@ class SearchEngine:
         return "corrected query: " + " ".join(kept_words)
 
     # ---------------------------------------------------- Q8/Q9/Q10/Q11
-    def _assemble(self, window, terms: list[str], all_hits) -> DataFrame:
+    def _assemble(self, window, terms: list[str]) -> list[tuple]:
         if not window:
-            return self.spark.createDataFrame([], RESULT_SCHEMA)
+            return []
         ids = [r["doc_id"] for r in window]
         # k rows: broadcast-join the id list against the content store
         content_rows = {
@@ -166,7 +201,7 @@ class SearchEngine:
                     r["score"],
                 )
             )
-        return self.spark.createDataFrame(out, RESULT_SCHEMA)
+        return out
 
     # ------------------------------------------------------- A1-A4
     def statistics(self) -> dict:

@@ -9,8 +9,9 @@ three pruning levers of the north rule:
    shortest list seeds the candidate set; subsequent lists only decode
    blocks whose [doc_id_min, doc_id_max] overlaps surviving candidates;
 2. block-max upper bounds: per-candidate ub = Σ_t idf_t *
-   max_kernel(block containing the doc) — an exact upper bound on the
-   true score since kernel is recomputed bit-identically at decode;
+   kernel(max_tfp, max_tfc, min_lenp, min_lenc, avgdl) of the block
+   containing the doc — a valid upper bound because the kernel is
+   monotone increasing in wtf and decreasing in dl;
 3. WAND-style early termination: candidates scored in descending-ub
    chunks; once the running kth score strictly exceeds the next chunk's
    ub, the remainder cannot enter the top-k (ties lose by the strict
@@ -36,9 +37,11 @@ _OUT_SCHEMA = "doc_id long, score double"
 _CHUNK = 1024
 
 
-def _decode_blocks(bpdf: pd.DataFrame, lo: np.ndarray | None = None):
+def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = None):
     """Decode the blocks of one term, optionally pruned to blocks whose
-    doc-id range intersects candidate ids ``lo`` (sorted)."""
+    doc-id range intersects candidate ids ``lo`` (sorted). Returns
+    (ids, tfp, tfc, ub_kernel) where ub_kernel is the per-doc block
+    bound kernel(max_tfp, max_tfc, min_lenp, min_lenc, avgdl)."""
     from posik_engine_spark.functions import codec
 
     if lo is not None and len(bpdf):
@@ -54,7 +57,14 @@ def _decode_blocks(bpdf: pd.DataFrame, lo: np.ndarray | None = None):
         ids_parts.append(ids)
         tfp_parts.append(codec.decode_counts(r.tfp))
         tfc_parts.append(codec.decode_counts(r.tfc))
-        maxk_parts.append(np.full(len(ids), r.max_kernel))
+        ubk = kernel_np(
+            np.array([r.max_tfp], dtype=np.int64),
+            np.array([r.max_tfc], dtype=np.int64),
+            np.array([r.min_lenp], dtype=np.int64),
+            np.array([r.min_lenc], dtype=np.int64),
+            avgdl,
+        )[0]
+        maxk_parts.append(np.full(len(ids), ubk))
     if not ids_parts:
         z = np.empty(0, dtype=np.int64)
         return z, z, z, np.empty(0, dtype=np.float64)
@@ -86,14 +96,14 @@ def shard_topk(
     # --- rarest-first intersection with block-range pruning
     t0 = terms_rarest_first[0]
     cand, tfp0, tfc0, maxk0 = _decode_blocks(
-        by_term[t0].sort_values("block_id", kind="mergesort")
+        by_term[t0].sort_values("block_id", kind="mergesort"), avgdl
     )
     aligned: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {
         t0: (tfp0, tfc0, maxk0)
     }
     for t in terms_rarest_first[1:]:
         ids_t, tfp_t, tfc_t, maxk_t = _decode_blocks(
-            by_term[t].sort_values("block_id", kind="mergesort"), lo=cand
+            by_term[t].sort_values("block_id", kind="mergesort"), avgdl, lo=cand
         )
         common, ia, ib = np.intersect1d(
             cand, ids_t, assume_unique=True, return_indices=True

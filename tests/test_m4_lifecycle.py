@@ -1,0 +1,127 @@
+"""M4: checkpoint/resume, lineage+counters, incremental reindex, GC
+(FIXTURES.md F5 resume/skew fixtures; SURVEY.md §5 rebuild plan #3/#4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from posik_engine_spark import corpus
+from posik_engine_spark.operators.lifecycle import (
+    BuildAborted,
+    IndexBuilder,
+    read_lineage,
+)
+
+N_DOCS = 250
+
+
+def _blocks_fingerprint(ix):
+    rows = ix.blocks.select(
+        "term", "shard", "block_id", "n_docs", "doc_id_min", "doc_id_max",
+        "max_tfp", "max_tfc", "min_lenp", "min_lenc",
+        F.hex(F.col("docs")).alias("d"),
+        F.hex(F.col("tfp")).alias("p"),
+        F.hex(F.col("tfc")).alias("c"),
+    ).collect()
+    return sorted(map(tuple, rows))
+
+
+def _stats_fingerprint(ix):
+    return (
+        sorted(map(tuple, ix.term_stats.collect())),
+        sorted(map(tuple, ix.doc_stats.collect())),
+        ix.meta,
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return corpus.synthetic_docs(spark, N_DOCS, seed=13).cache()
+
+
+def test_resume_after_crash_is_identical(spark, docs_df, tmp_path_factory):
+    single = IndexBuilder(spark, str(tmp_path_factory.mktemp("single")), n_shards=8)
+    ix_single = single.build(docs_df)
+
+    batched_dir = str(tmp_path_factory.mktemp("batched"))
+    batched = IndexBuilder(spark, batched_dir, n_shards=8, shard_batches=4)
+    with pytest.raises(BuildAborted):
+        batched.build(docs_df, fail_after_batch=1)  # dies after 2 of 4 batches
+    lineage = read_lineage(batched_dir)
+    assert sum(r["stage"].startswith("blocks_batch") for r in lineage) == 2
+
+    ix_resumed = batched.build(docs_df)  # resume run
+    lineage = read_lineage(batched_dir)
+    # prepare/stats not redone: exactly one DONE record each
+    assert sum(r["stage"] == "prepare" for r in lineage) == 1
+    assert sum(r["stage"] == "stats" for r in lineage) == 1
+    assert _blocks_fingerprint(ix_resumed) == _blocks_fingerprint(ix_single)
+    assert _stats_fingerprint(ix_resumed) == _stats_fingerprint(ix_single)
+
+
+def test_counters_and_lineage(spark, docs_df, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("counters"))
+    b = IndexBuilder(spark, d, n_shards=4, shard_batches=2)
+    ix = b.build(docs_df)
+    c = b.counters()
+    assert c["docs_tokenized"] == ix.meta.n_docs
+    assert c["postings_emitted"] == ix.blocks.agg(F.sum("n_docs")).collect()[0][0]
+    assert c["blocks_merged"] == ix.blocks.count()
+    for rec in read_lineage(d):
+        assert rec["state"] == "DONE"
+        assert rec["finished_at"] >= rec["started_at"]
+
+
+def test_incremental_equals_full_rebuild(spark, docs_df, tmp_path_factory):
+    base = IndexBuilder(spark, str(tmp_path_factory.mktemp("base")), n_shards=8)
+    base.build(docs_df)
+
+    # snapshot v2: drop ~10% of docs, change ~10%, add new ones
+    changed = (
+        docs_df.filter(F.pmod(F.xxhash64("path"), F.lit(10)) == 0)
+        .withColumn("content", F.concat(F.col("content"), F.lit("\nhotfix patch 99")))
+        .withColumn("commit", F.lit("deadbeef"))
+    )
+    kept = docs_df.filter(F.pmod(F.xxhash64("path"), F.lit(10)) >= 2)
+    added = corpus.synthetic_docs(spark, 30, seed=99).withColumn(
+        "path", F.concat(F.lit("newdir/"), F.col("path"))
+    )
+    snapshot = kept.unionByName(changed).unionByName(added).cache()
+
+    ix_inc = base.incremental_update(snapshot)
+    full = IndexBuilder(spark, str(tmp_path_factory.mktemp("full")), n_shards=8)
+    ix_full = full.build(snapshot)
+
+    assert _blocks_fingerprint(ix_inc) == _blocks_fingerprint(ix_full)
+    assert _stats_fingerprint(ix_inc) == _stats_fingerprint(ix_full)
+    inc_rec = [r for r in read_lineage(base.out_dir) if r["stage"].startswith("incremental")]
+    assert inc_rec and inc_rec[-1]["counters"]["docs_deleted"] > 0
+    # incremental must NOT re-tokenize unchanged docs
+    assert inc_rec[-1]["counters"]["docs_tokenized"] < ix_full.meta.n_docs / 2
+
+
+def test_noop_incremental(spark, docs_df, tmp_path_factory):
+    b = IndexBuilder(spark, str(tmp_path_factory.mktemp("noop")), n_shards=4)
+    ix1 = b.build(docs_df)
+    fp1 = _blocks_fingerprint(ix1)
+    ix2 = b.incremental_update(docs_df)  # same snapshot -> no work
+    assert _blocks_fingerprint(ix2) == fp1
+
+
+def test_hot_term_spreads_over_shards(spark, docs_df, tmp_path_factory):
+    """Skew fixture: 'def' sits in ~90% of docs; the doc-sharded layout
+    must spread its postings across every shard (no single reducer gets
+    the whole hot posting list — SURVEY.md §2 B9)."""
+    b = IndexBuilder(spark, str(tmp_path_factory.mktemp("skew")), n_shards=8)
+    ix = b.build(docs_df)
+    per_shard = {
+        r["shard"]: r["n"]
+        for r in ix.blocks.filter("term = 'def'")
+        .groupBy("shard")
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()
+    }
+    assert len(per_shard) == 8
+    total = sum(per_shard.values())
+    assert max(per_shard.values()) < 0.5 * total
