@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: build the inverted index over sf0.001
+               documents and run a BM25 search end-to-end.
+queries()    — one entry per implemented operator family from
+               SURVEY.md §2 + the training-data pipeline operators;
+               each callable (spark, sf_dir) -> DataFrame.
+oracle_sql() — exactly-matching DuckDB SQL per entry (omitted only for
+               genuinely non-SQL ops: simhash banding, multimodal
+               decode plumbing — those get the rows-only check and are
+               oracle-verified in pytest instead).
+
+Float discipline: every float column is round(x, 6) on BOTH sides;
+deterministic orderings use rounded keys + id tie-breaks so top-k sets
+are engine-independent (see spec.py for the rank-identity rationale).
 """
 
 from __future__ import annotations
@@ -12,27 +20,591 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from posik_engine_spark import spec
+from posik_engine_spark.functions.tokenizer import tokenize_expr, tokenize_sql_duckdb
+from posik_engine_spark.operators import build as B
+from posik_engine_spark.operators import dedup, similarity, textops
+from posik_engine_spark.operators.index import build_index
+from posik_engine_spark.operators.score import score_terms
+from posik_engine_spark.operators.wand import wand_topk
+
+# ------------------------------------------------------------ fixtures
+# fixed query-term sets (over the testdata vocabulary)
+QTERMS_MAIN = ["spark", "window"]
+QTERMS_ALT = ["merge", "sort"]
+QTHETA_PROBE = ["spark", "window", "merge", "dup", "the", "scan"]
+JACCARD_TAU = 0.5
+COSINE_TAU = 0.25
+SHINGLE_N = 3
+
+# digit -> stop-word path segments: unique per doc_id but tokenizes to
+# NOTHING (all stop words), so the engine's path field contributes zero
+# postings and the SQL oracle only has to model the content field.
+_STOPDIGIT = {
+    "0": "a", "1": "an", "2": "and", "3": "are", "4": "as",
+    "5": "at", "6": "be", "7": "but", "8": "by", "9": "of",
+}
 
 
+def _docs_contentonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = F.col("doc_id").cast("string")
+    for digit, word in _STOPDIGIT.items():
+        path = F.regexp_replace(path, digit, word + "/")
+    return d.select(
+        F.col("doc_id").alias("orig_id"),
+        F.col("source").alias("repo"),
+        path.alias("path"),
+        F.lit("00000000").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+_ENGINE_CACHE: dict[str, tuple] = {}
+
+
+def _engine_state(spark: SparkSession, sf_dir: str):
+    """Memoized per sf_dir: (index, tf, meta, engine_id->orig_id map)."""
+    if sf_dir not in _ENGINE_CACHE:
+        docs = _docs_contentonly(spark, sf_dir)
+        src = docs.select("repo", "path", "commit", "lang", "content")
+        ix = build_index(src, n_shards=8)
+        prepared = B.prepare_docs(src, n_shards=8)
+        tf = B.term_freqs(prepared).cache()
+        tf.count()
+        idmap = docs.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id"),
+            F.col("orig_id"),
+        ).cache()
+        _ENGINE_CACHE[sf_dir] = (ix, tf, ix.meta, idmap)
+    return _ENGINE_CACHE[sf_dir]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokenize_expr("text")).alias("term")
+    )
+
+
+# ---------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 -> full index build -> BM25 search (WAND path)
+    -> hits with snippets as a DataFrame."""
+    from posik_engine_spark.corpus import docs_from_documents
+    from posik_engine_spark.operators.search import SearchEngine
+
+    docs = docs_from_documents(spark, "/root/testdata/sf0.001")
+    engine = SearchEngine.from_docs(spark, docs, n_shards=8)
+    resp = engine.search("spark window", limit=20)
+    return resp.data
+
+
+# -------------------------------------------------------------- queries
+def q_a1_totals(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = _toks(spark, sf_dir)
+    return d.agg(
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).crossJoin(t.agg(F.countDistinct("term").cast("long").alias("n_terms")))
+
+
+def q_a2_per_source(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def q_doc_sha256(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+    )
+
+
+def q_term_stats(spark, sf_dir):
+    return (
+        _toks(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("ctf"),
+        )
+    )
+
+
+def q_theta_filter(spark, sf_dir):
+    """Q3: DF-threshold stop filter over a fixed probe term list."""
+    stats = q_term_stats(spark, sf_dir)
+    n_docs = _docs(spark, sf_dir).count()
+    return stats.filter(
+        F.col("term").isin(QTHETA_PROBE) & (F.col("df") < spec.THETA * n_docs)
+    )
+
+
+def q_and_candidates(spark, sf_dir):
+    """Q4: doc ids containing ALL of QTERMS_MAIN (semi-join chain)."""
+    t = _toks(spark, sf_dir).filter(F.col("term").isin(QTERMS_MAIN))
+    return (
+        t.groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .filter(F.col("nt") == len(QTERMS_MAIN))
+        .select("doc_id")
+    )
+
+
+def _bm25_all_matches(spark, sf_dir, terms):
+    ix, tf, meta, idmap = _engine_state(spark, sf_dir)
+    idfs = B.idf_map(ix.term_stats, meta, terms)
+    if set(idfs) != set(terms):
+        return spark.createDataFrame([], "doc_id long, score double")
+    scored = score_terms(tf, idfs, meta.avgdl)
+    return (
+        scored.join(idmap, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), F.round("score", 6).alias("score"))
+    )
+
+
+def q_bm25_scores_df(spark, sf_dir):
+    """Q5 DataFrame path: BM25 scores of ALL docs matching QTERMS_MAIN."""
+    return _bm25_all_matches(spark, sf_dir, QTERMS_MAIN)
+
+
+def q_bm25_wand(spark, sf_dir):
+    """Q4+Q5 fused engine path: block index + block-max WAND with k
+    covering every match (set-exact vs the SQL oracle)."""
+    ix, _tf, meta, idmap = _engine_state(spark, sf_dir)
+    info = ix.term_info(QTERMS_ALT)
+    if set(info) != set(QTERMS_ALT):
+        return spark.createDataFrame([], "doc_id long, score double")
+    idfs = {t: v[0] for t, v in info.items()}
+    dfs = {t: v[1] for t, v in info.items()}
+    res = wand_topk(ix, idfs, dfs, k=10_000_000)
+    return res.join(idmap, "doc_id").select(
+        F.col("orig_id").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    out = textops.token_count(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return textops.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    out = textops.text_quality(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "stop_ratio", "punct_ratio", "digit_ratio",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark, sf_dir):
+    out = dedup.exact_dedup(_docs(spark, sf_dir))
+    return out.select("sha", F.col("n_docs").cast("long").alias("n_docs"), "keeper")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), tau=JACCARD_TAU, n=SHINGLE_N)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), tau=JACCARD_TAU, n=SHINGLE_N)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """Rows-only driver check (bit-level hashing is not reasonably
+    SQL-expressible); exactness vs a pure-Python oracle is pytest-
+    verified (tests/test_pipeline_ops.py)."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+def q_ann_cosine_all(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return (
+        emb.select(
+            "vec_id",
+            F.round(
+                similarity.cosine_expr(
+                    F.col("embedding"), F.array(*[F.lit(float(x)) for x in q0])
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(emb, list(q0), k=10)
+
+
+def q_ann_lsh_pairs(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.hyperplane_lsh_pairs(emb, tau=COSINE_TAU, dim=64)
+
+
+def q_events_hourly(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_lineitem_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders"),
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: text bytes as an opaque payload; rows-
+    only check (decode is stubbed — operators/multimodal.py)."""
+    from posik_engine_spark.operators.multimodal import attach_media_meta, decode_features
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    meta = attach_media_meta(d).select("doc_id", "n_bytes", "sniffed_mime")
+    feats = decode_features(d, fake=True)
+    return meta.join(feats, "doc_id").select(
+        "doc_id", F.col("n_bytes").cast("long").alias("n_bytes"),
+        "sniffed_mime", F.element_at("features", 1).alias("f0"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "a1_totals": q_a1_totals,
+        "a2_per_source": q_a2_per_source,
+        "doc_sha256": q_doc_sha256,
+        "term_stats": q_term_stats,
+        "theta_filter": q_theta_filter,
+        "and_candidates": q_and_candidates,
+        "bm25_scores_df": q_bm25_scores_df,
+        "bm25_wand": q_bm25_wand,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_all": q_ann_cosine_all,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "events_hourly": q_events_hourly,
+        "lineitem_summary": q_lineitem_summary,
+        "multimodal_meta": q_multimodal_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------- oracles
+def _sql_toks() -> str:
+    return (
+        f"SELECT doc_id, unnest({tokenize_sql_duckdb('text')}) AS term FROM documents"
+    )
+
+
+def _sql_in(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def _sql_bm25(terms: list[str]) -> str:
+    k1, b_, wc = spec.K1, spec.B, spec.FIELD_WEIGHT_CONTENT
+    return f"""
+WITH toks AS ({_sql_toks()}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+avg_dl AS (
+  SELECT ({wc} * (SELECT coalesce(sum(len), 0) FROM dl)) / (SELECT n_docs FROM nn) AS avgdl
+),
+stats AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM nn) - s.df + 0.5) / (s.df + 0.5))
+         * (({wc} * tf.tf) * {k1 + 1.0})
+         / (({wc} * tf.tf) + {k1} * ({1.0 - b_} + ({b_} * ({wc} * dl.len)) / (SELECT avgdl FROM avg_dl)))
+         AS s
+  FROM tf JOIN stats s USING (term) JOIN dl USING (doc_id)
+  WHERE tf.term IN ({_sql_in(terms)})
+)
+SELECT doc_id, round(sum(s), 6) AS score
+FROM scored GROUP BY doc_id HAVING count(*) = {len(terms)}
+"""
+
+
+def _sql_quality() -> str:
+    stop = _sql_in(spec.STOP_TOKENS_SORTED)
+    raw = f"regexp_extract_all(lower(text), '{textops.RAW_WORD_RE}')"
+    return f"""
+SELECT doc_id,
+  length(text)::BIGINT AS n_chars,
+  len({raw})::BIGINT AS n_words,
+  round(CASE WHEN len({raw}) > 0
+        THEN len(list_filter({raw}, t -> t IN ({stop})))::DOUBLE / len({raw})
+        ELSE 0.0 END, 6) AS stop_ratio,
+  round(CASE WHEN length(text) > 0
+        THEN length(regexp_replace(lower(text), '{textops.PUNCT_STRIP_RE}', '', 'g'))::DOUBLE / length(text)
+        ELSE 0.0 END, 6) AS punct_ratio,
+  round(CASE WHEN length(text) > 0
+        THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
+        ELSE 0.0 END, 6) AS digit_ratio
+FROM documents
+"""
+
+
+def _sql_lang_id() -> str:
+    raw = f"regexp_extract_all(lower(text), '{textops.RAW_WORD_RE}')"
+    langs = sorted(textops.LANG_WORDLISTS)
+    hits = ",\n  ".join(
+        f"len(list_filter({raw}, t -> t IN ({_sql_in(list(textops.LANG_WORDLISTS[lg]))}))) AS h_{lg}"
+        for lg in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    n_at_max = " + ".join(f"(h_{lg} = best)::INT" for lg in langs)
+    first_at_max = "CASE " + " ".join(
+        f"WHEN h_{lg} = best THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+WITH h AS (SELECT doc_id, {hits} FROM documents),
+m AS (SELECT *, {best} AS best FROM h)
+SELECT doc_id,
+  CASE WHEN best > 0 AND ({n_at_max}) = 1 THEN {first_at_max} ELSE 'und' END AS lang_pred
+FROM m
+"""
+
+
+def _sql_shingles() -> str:
+    toks = tokenize_sql_duckdb("text")
+    return f"""
+SELECT DISTINCT doc_id, shingle FROM (
+  SELECT doc_id,
+    unnest(CASE WHEN len(t) >= {SHINGLE_N}
+      THEN list_transform(range(0, len(t) - {SHINGLE_N - 1}),
+                          i -> array_to_string(t[i + 1 : i + {SHINGLE_N}], ' '))
+      ELSE [] END) AS shingle
+  FROM (SELECT doc_id, {toks} AS t FROM documents)
+)
+"""
+
+
+def _sql_jaccard_pairs() -> str:
+    return f"""
+WITH sh AS ({_sql_shingles()}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 6) >= {JACCARD_TAU}
+"""
+
+
+def _sql_minhash_lsh() -> str:
+    P, BANDS = dedup.DEFAULT_N_PERMS, dedup.DEFAULT_BANDS
+    r = P // BANDS
+    sig_cols = ",\n  ".join(
+        f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(P)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sigs".format(
+            b=b, parts=" || '|' || ".join(f"sig_{b * r + j}" for j in range(r))
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH sh AS ({_sql_shingles()}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 6) >= {JACCARD_TAU}
+"""
+
+
+def _sql_cosine(expr_a: str, expr_b: str) -> str:
+    """Explicit f64 cosine; unordered sums are safe under round(.,6)."""
+    return f"""(
+  (SELECT sum(x.a * x.b) FROM (
+     SELECT unnest(list_transform({expr_a}, v -> v::DOUBLE)) AS a,
+            unnest(list_transform({expr_b}, v -> v::DOUBLE)) AS b) x)
+  / (sqrt((SELECT sum(y.a * y.a) FROM (SELECT unnest(list_transform({expr_a}, v -> v::DOUBLE)) AS a) y))
+   * sqrt((SELECT sum(z.b * z.b) FROM (SELECT unnest(list_transform({expr_b}, v -> v::DOUBLE)) AS b) z)))
+)"""
+
+
+def _sql_ann_all() -> str:
+    cos = _sql_cosine("e.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({cos}, 6) AS cosine
+FROM embeddings e, q
+"""
+
+
+def _sql_ann_topk() -> str:
+    return _sql_ann_all() + " ORDER BY cosine DESC, vec_id ASC LIMIT 10"
+
+
+def _sql_ann_lsh() -> str:
+    n_planes, bands = similarity.DEFAULT_N_PLANES, similarity.DEFAULT_LSH_BANDS
+    r = n_planes // bands
+    ws = similarity.plane_weights(n_planes, 64)
+    # per-plane dot product as an explicit weighted sum over dims
+    bit_exprs = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"({w} * embedding[{d + 1}]::DOUBLE)" for d, w in enumerate(ws[p]) if w > 0
+        )
+        negs = " + ".join(
+            f"({-w} * embedding[{d + 1}]::DOUBLE)" for d, w in enumerate(ws[p]) if w < 0
+        )
+        bit_exprs.append(
+            f"CASE WHEN (({terms}) - ({negs})) >= 0 THEN '1' ELSE '0' END"
+        )
+    sig = " || ".join(bit_exprs)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, substr(sig, {b * r + 1}, {r}) AS bucket FROM sig"
+        for b in range(bands)
+    )
+    cos = _sql_cosine("ea.embedding", "eb.embedding")
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+buckets AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cosine
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE round({cos}, 6) >= {COSINE_TAU}
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _sql_toks()
+    stop = _sql_in(spec.STOP_TOKENS_SORTED)  # noqa: F841 (kept for debugging)
+    return {
+        "a1_totals": f"""
+            SELECT (SELECT count(DISTINCT source) FROM documents)::BIGINT AS n_sources,
+                   (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                   (SELECT count(DISTINCT term) FROM ({toks}))::BIGINT AS n_terms
+        """,
+        "a2_per_source": "SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source",
+        "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "term_stats": f"""
+            SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ctf
+            FROM ({toks}) GROUP BY term
+        """,
+        "theta_filter": f"""
+            WITH ts AS (
+              SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ctf
+              FROM ({toks}) GROUP BY term)
+            SELECT * FROM ts
+            WHERE term IN ({_sql_in(QTHETA_PROBE)})
+              AND df < {spec.THETA} * (SELECT count(*) FROM documents)
+        """,
+        "and_candidates": f"""
+            SELECT doc_id FROM ({toks})
+            WHERE term IN ({_sql_in(QTERMS_MAIN)})
+            GROUP BY doc_id HAVING count(DISTINCT term) = {len(QTERMS_MAIN)}
+        """,
+        "bm25_scores_df": _sql_bm25(QTERMS_MAIN),
+        "bm25_wand": _sql_bm25(QTERMS_ALT),
+        "token_count": f"""
+            SELECT doc_id,
+                   len({tokenize_sql_duckdb('text')})::BIGINT AS n_tokens,
+                   len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_ws_tokens,
+                   length(text)::BIGINT AS n_chars
+            FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string({tokenize_sql_duckdb('text')}, ' ')) AS fingerprint
+            FROM documents
+        """,
+        "text_quality": _sql_quality(),
+        "lang_id": _sql_lang_id(),
+        "dedup_exact": """
+            SELECT sha256(text) AS sha, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
+            FROM documents GROUP BY sha256(text)
+        """,
+        "dedup_ngram_jaccard": _sql_jaccard_pairs(),
+        "dedup_minhash_lsh": _sql_minhash_lsh(),
+        # dedup_simhash: rows-only (bit ops; pytest-verified)
+        "ann_cosine_all": _sql_ann_all(),
+        "ann_cosine_topk": _sql_ann_topk(),
+        "ann_lsh_pairs": _sql_ann_lsh(),
+        "events_hourly": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+                   count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "lineitem_summary": """
+            SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   count(DISTINCT l_orderkey)::BIGINT AS n_orders
+            FROM lineitem GROUP BY 1, 2
+        """,
+        # multimodal_meta: rows-only (decode stub; plumbing pytest-verified)
+    }

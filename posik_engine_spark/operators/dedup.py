@@ -1,0 +1,257 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Four families (each with a matching DuckDB-SQL oracle wired in
+__spark_entry__.py unless noted):
+
+- exact_dedup:          sha256 hash-groupBy (one shuffle of 32-byte keys)
+- ngram_jaccard_pairs:  exact n-gram-shingle Jaccard via inverted
+                        shingle join (no O(n^2) cross join; the join
+                        fans out only on shared shingles)
+- minhash_lsh_pairs:    MinHash signatures (portable md5-string min per
+                        permutation) -> banded LSH buckets -> candidate
+                        pairs -> exact Jaccard verification. The scale
+                        path: candidate generation is linear in docs x
+                        bands, never quadratic.
+- simhash64 / simhash_pairs: 64-bit SimHash (Arrow-batched UDF),
+                        pigeonhole 16-bit-band blocking for hamming<=k
+                        (rows-only driver check; validated vs a pure-
+                        Python oracle in pytest).
+
+Portable hashing: every hash that must match the SQL oracle is md5 over
+explicit strings — minhash takes the lexicographic MIN of md5 hex
+digests, so Spark and DuckDB agree byte-for-byte with no integer-
+conversion games.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from posik_engine_spark.functions.tokenizer import tokenize_expr
+
+DEFAULT_SHINGLE_N = 3
+DEFAULT_N_PERMS = 6
+DEFAULT_BANDS = 3  # rows per band = n_perms // bands
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content sha256: one row per distinct
+    content with the canonical keeper (min doc_id) and group size."""
+    return (
+        docs.select("doc_id", F.sha2(F.col(text_col).cast("binary"), 256).alias("sha"))
+        .groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def shingle_expr(text_col: str, n: int = DEFAULT_SHINGLE_N) -> Column:
+    """Distinct n-gram token shingles (space-joined) of the engine
+    tokenizer's output; docs with < n tokens yield no shingles."""
+    toks = tokenize_expr(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(F.array()))
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = DEFAULT_SHINGLE_N) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(shingle_expr(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, tau: float, text_col: str = "text", n: int = DEFAULT_SHINGLE_N
+) -> DataFrame:
+    """Exact Jaccard >= tau pairs via inverted shingle join."""
+    sh = doc_shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_perms: int = DEFAULT_N_PERMS,
+    n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """doc_id -> sig_0..sig_{P-1}; sig_i = min over shingles of
+    md5('<i>:' || shingle) as a hex STRING (portable across engines).
+    Docs with no shingles are dropped (nothing to hash)."""
+    sh = doc_shingles(docs, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))).alias(
+            f"sig_{i}"
+        )
+        for i in range(n_perms)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    tau: float,
+    text_col: str = "text",
+    n_perms: int = DEFAULT_N_PERMS,
+    bands: int = DEFAULT_BANDS,
+    n: int = DEFAULT_SHINGLE_N,
+) -> DataFrame:
+    """Banded-LSH candidate pairs verified with exact Jaccard.
+
+    Bands of r = n_perms/bands signature rows hash (md5 of the
+    concatenated sigs) into buckets; docs sharing any bucket become
+    candidates; exact Jaccard filters to >= tau. At scale the bucket
+    join shuffles only (doc, bucket) pairs — linear, never n^2.
+    """
+    assert n_perms % bands == 0
+    r = n_perms // bands
+    sigs = minhash_signatures(docs, text_col, n_perms, n)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * r + j}") for j in range(r)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *parts).cast("binary")).alias("bucket"),
+            )
+        )
+    buckets = sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = doc_shingles(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------- simhash
+_SIMHASH_BITS = 64
+
+
+def _simhash_py(tokens: list[str]) -> int:
+    """Pure-Python simhash (also the pytest oracle): md5(token) low 64
+    bits; each bit votes +tf/-tf; sign -> bit."""
+    import hashlib
+
+    acc = np.zeros(_SIMHASH_BITS, dtype=np.int64)
+    from collections import Counter
+
+    for tok, tf in Counter(tokens).items():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for j in range(_SIMHASH_BITS):
+            acc[j] += tf if (h >> j) & 1 else -tf
+    bits = 0
+    for j in range(_SIMHASH_BITS):
+        if acc[j] >= 0:
+            bits |= 1 << j
+    return bits
+
+
+@F.pandas_udf(T.LongType())
+def _simhash_udf(tokens: pd.Series) -> pd.Series:  # pragma: no cover (executors)
+    return pd.Series(
+        [np.int64(np.uint64(_simhash_py(t if t is not None else []))) for t in tokens]
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", _simhash_udf(tokenize_expr(text_col)).alias("simhash")
+    )
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= k via pigeonhole
+    blocking: k<=3 guarantees at least one of 4 16-bit chunks matches
+    exactly, so candidates come from 4 equi-joins, never a cross join."""
+    sh = simhash64(docs, text_col)
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.v").alias("v"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk", "v"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk:          brute-force cosine top-k for a query vector —
+                        the exact baseline. All-JVM: zip_with products
+                        + left-fold aggregate (sequential, so the f64
+                        sum order is deterministic).
+- cosine_pairs:         exact near-dup pairs (cosine >= tau) — O(n^2),
+                        correctness baseline for the LSH variant.
+- hyperplane_lsh_pairs: the scale path — random-hyperplane signatures
+                        with md5-derived deterministic plane weights
+                        (portable to the DuckDB oracle), banded bucket
+                        join for candidates, exact cosine verification.
+
+At 100 TB the LSH variant's candidate join shuffles only
+(vec_id, band, bucket) rows; brute force stays for small query sets
+(broadcast query vector, single scan, TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_N_PLANES = 8
+DEFAULT_LSH_BANDS = 2  # planes per band = n_planes / bands
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in float64 — deterministic
+    summation order (rank identity discipline, spec.py)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: list[float], k: int, vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k rows by cosine to the (broadcast literal) query vector;
+    rounded-score ordering with vec_id tie-break for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine_expr(F.col(vec_col), q), 6)
+    return (
+        emb.select("vec_id", sim.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def cosine_pairs(emb: DataFrame, tau: float, vec_col: str = "embedding") -> DataFrame:
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def plane_weights(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 plane weights from md5 parity — reproducible in
+    any engine with md5 (the SQL oracle regenerates them identically).
+    w[p][d] = +1 if first hex char of md5('<p>_<d>') is 0-7 else -1."""
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0]
+            row.append(1.0 if h in "01234567" else -1.0)
+        out.append(row)
+    return out
+
+
+def hyperplane_signature(
+    vec_col: Column, n_planes: int, dim: int
+) -> Column:
+    """Bit-string signature: bit p = (w_p . v >= 0) ? '1' : '0'."""
+    ws = plane_weights(n_planes, dim)
+    bits = []
+    for p in range(n_planes):
+        wcol = F.array(*[F.lit(w) for w in ws[p]])
+        bits.append(F.when(_dot(vec_col, wcol) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def hyperplane_lsh_pairs(
+    emb: DataFrame,
+    tau: float,
+    dim: int,
+    n_planes: int = DEFAULT_N_PLANES,
+    bands: int = DEFAULT_LSH_BANDS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates share at least one band
+    of the hyperplane signature; exact cosine verifies >= tau."""
+    assert n_planes % bands == 0
+    r = n_planes // bands
+    sig = emb.select("vec_id", F.col(vec_col).alias("v"),
+                     hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"))
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), F.substring("sig", b * r + 1, r).alias("bucket"))
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "vec_id", "v", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= tau)
+        .select("vec_a", "vec_b", "cosine")
+    )
