@@ -1,0 +1,122 @@
+"""Structured Streaming operators (SURVEY.md §2.6 stance + pipeline ops).
+
+The reference is batch-only (its 'streaming' is a crawler with a status
+machine, /root/reference/.../service/IndexingMonitor.java:22-75); these
+operators extend the engine to continuous ingestion, which a 100 TB
+training-data pipeline needs:
+
+- stream_docs:            file-source stream of docs (new parquet files
+                          under a directory are discovered per
+                          micro-batch — the Spark-native tail of an
+                          arriving corpus)
+- streaming_term_freqs:   the SAME tokenize + per-doc count dataflow as
+                          the batch build (shuffle-free, so it is
+                          trivially append-mode safe)
+- streaming_event_counts: watermarked tumbling-window aggregation over
+                          an event stream (late data dropped past the
+                          watermark)
+- incremental_index_sink: foreachBatch bridge: every micro-batch of new
+                          docs delta-reindexes the on-disk index via
+                          IndexBuilder.incremental_update — streaming
+                          ingestion with exactly the batch engine's
+                          semantics (checkpointed, resumable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from posik_engine_spark.operators import build as B
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_docs(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(path)
+
+
+def streaming_term_freqs(docs_stream: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Per-doc term freqs on a stream: prepare_docs + term_freqs are
+    narrow (tokenize UDF + explode), so the streaming plan needs no
+    stateful shuffle — append mode, unbounded."""
+    prepared = B.prepare_docs(docs_stream, n_shards=n_shards)
+    return B.term_freqs(prepared)
+
+
+def streaming_event_counts(
+    events_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def incremental_index_sink(
+    docs_stream: DataFrame,
+    builder,
+    checkpoint_dir: str,
+):
+    """writeStream.foreachBatch: each micro-batch of docs is merged into
+    the on-disk index via the batch engine's incremental path. The
+    union of (existing state + batch) is what incremental_update
+    expects as a snapshot, so we union with the current doc_stats-backed
+    source registry. Exactly-once: Spark checkpoints the batch id, and
+    incremental_update is idempotent for an unchanged snapshot."""
+
+    def handle(batch_df: DataFrame, _epoch: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        import os
+
+        if os.path.exists(builder.meta_path):
+            # existing corpus = whatever the index knows + the new batch
+            known = spark.read.parquet(builder.doc_stats_path).select(
+                "repo", "path", "commit"
+            )
+            # re-read original content for known docs is unnecessary:
+            # incremental_update ignores unchanged (repo,path,commit,sha)
+            # rows entirely, so passing only their identity with the new
+            # batch would delete them. Instead the stream keeps its own
+            # append-only docs log and reindexes the union.
+            log_path = os.path.join(builder.out_dir, "_docs_log")
+            batch_df.write.mode("append").parquet(log_path)
+            snapshot = (
+                spark.read.parquet(log_path)
+                .dropDuplicates(["repo", "path", "commit"])
+            )
+            builder.incremental_update(snapshot)
+        else:
+            log_path = os.path.join(builder.out_dir, "_docs_log")
+            batch_df.write.mode("append").parquet(log_path)
+            builder.build(spark.read.parquet(log_path))
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+    )

@@ -1,0 +1,113 @@
+"""Structured Streaming operators: stream == batch equivalence and the
+foreachBatch incremental-index sink."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from posik_engine_spark import corpus
+from posik_engine_spark.operators import build as B
+from posik_engine_spark.operators.lifecycle import IndexBuilder
+from posik_engine_spark.streaming import ingest
+
+
+@pytest.fixture()
+def docs_dir(spark, tmp_path):
+    d = str(tmp_path / "docs_in")
+    corpus.synthetic_docs(spark, 120, seed=21).write.parquet(d)
+    return d
+
+
+def test_streaming_term_freqs_equals_batch(spark, docs_dir, tmp_path):
+    stream = ingest.stream_docs(spark, docs_dir)
+    q = (
+        ingest.streaming_term_freqs(stream, n_shards=4)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tf_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, spark.sql("select * from tf_out").collect()))
+    batch = B.term_freqs(B.prepare_docs(spark.read.parquet(docs_dir), n_shards=4))
+    expect = sorted(map(tuple, batch.collect()))
+    assert got == expect
+
+
+def test_streaming_event_counts_matches_batch(spark, tmp_path):
+    src = "/root/testdata/sf0.001/events.parquet"
+    events_dir = str(tmp_path / "events_in")
+    spark.read.parquet(src).write.parquet(events_dir)
+    stream = spark.readStream.schema(ingest.EVENTS_SCHEMA).parquet(events_dir)
+    q = (
+        ingest.streaming_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ev_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from ev_out").collect()
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+    expect = {
+        (r["ws"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    # append mode emits only windows closed by the watermark; every
+    # emitted window must match the batch result exactly
+    assert got
+    for k, v in got.items():
+        assert expect[k] == v
+
+
+def test_incremental_index_sink(spark, tmp_path):
+    from pyspark.sql import functions as F2
+
+    all_docs = corpus.synthetic_docs(spark, 100, seed=31).cache()
+    half_a = all_docs.filter(F2.pmod(F2.xxhash64("path"), F2.lit(2)) == 0)
+    half_b = all_docs.filter(F2.pmod(F2.xxhash64("path"), F2.lit(2)) == 1)
+
+    in_dir = str(tmp_path / "arrivals")
+    half_a.write.mode("append").parquet(in_dir)
+
+    builder = IndexBuilder(spark, str(tmp_path / "ix"), n_shards=4)
+    stream = ingest.stream_docs(spark, in_dir)
+    q = ingest.incremental_index_sink(
+        stream, builder, checkpoint_dir=str(tmp_path / "ckpt3")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    half_b.write.mode("append").parquet(in_dir)
+    stream2 = ingest.stream_docs(spark, in_dir)
+    q2 = ingest.incremental_index_sink(
+        stream2, builder, checkpoint_dir=str(tmp_path / "ckpt3")
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(180)
+
+    ix_stream = builder.load()
+    full = IndexBuilder(spark, str(tmp_path / "ix_full"), n_shards=4).build(all_docs)
+    got = sorted(
+        map(tuple, ix_stream.blocks.select("term", "shard", "block_id", "n_docs").collect())
+    )
+    expect = sorted(
+        map(tuple, full.blocks.select("term", "shard", "block_id", "n_docs").collect())
+    )
+    assert got == expect
+    assert ix_stream.meta == full.meta
