@@ -221,8 +221,12 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= k via pigeonhole
     blocking: k<=3 guarantees at least one of 4 16-bit chunks matches
-    exactly, so candidates come from 4 equi-joins, never a cross join."""
-    sh = simhash64(docs, text_col)
+    exactly (recall 100%); for k>3 the blocking is best-effort."""
+    return simhash_pairs_from_hashes(simhash64(docs, text_col), max_hamming)
+
+
+def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Blocking + verification over a (doc_id, simhash) frame."""
     chunks = sh.select(
         "doc_id",
         "simhash",

@@ -1,0 +1,171 @@
+"""Pipeline operators: pure-Python oracles for the non-SQL-checkable
+ops + planted near-duplicate recall checks."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from posik_engine_spark.functions.tokenizer import tokenize_py
+from posik_engine_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def neardup_docs(spark):
+    """Planted near-dups: pairs of docs differing by one word, plus
+    unrelated docs."""
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "spark window merge sort hash join filter group agg scan",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        rows.append((did, b)); did += 1
+        rows.append((did, b.replace(b.split()[4], "CHANGED")))  # near-dup
+        did += 1
+    for i in range(10):
+        rows.append((did, f"unrelated text number {i} totally different words here {i * 7}"))
+        did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_simhash_matches_python_oracle(spark, neardup_docs):
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(neardup_docs).collect()}
+    import numpy as np
+
+    for r in neardup_docs.collect():
+        expect = np.int64(np.uint64(dedup._simhash_py(tokenize_py(r["text"]))))
+        assert got[r["doc_id"]] == expect
+
+
+def test_simhash_blocking_complete_for_hamming_le_3(spark):
+    """Pigeonhole guarantee: with 4 chunks, any pair at hamming <= 3
+    shares a chunk, so recall is 100% — verified vs brute force."""
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    hashes = []
+    base = rng.getrandbits(64)
+    for i in range(40):
+        h = base
+        for _ in range(rng.randint(0, 3)):
+            h ^= 1 << rng.randrange(64)
+        hashes.append((i, h if h < 2**63 else h - 2**64))
+    df = spark.createDataFrame(hashes, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs_from_hashes(df, max_hamming=3).collect()
+    }
+    expect = {}
+    for (a, ha), (b, hb) in itertools.combinations(hashes, 2):
+        d = bin((ha ^ hb) & (2**64 - 1)).count("1")
+        if d <= 3:
+            expect[(a, b)] = d
+    assert got == expect
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(spark, neardup_docs):
+    tau = 0.4
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(neardup_docs, tau=tau).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(neardup_docs, tau=tau).collect()
+    }
+    # LSH verifies exactly -> every reported pair is a true pair with the
+    # exact same jaccard; candidate generation may only lose pairs
+    for k, v in lsh.items():
+        assert exact[k] == v
+    assert set(lsh) <= set(exact)
+
+
+def test_hyperplane_lsh_subset_of_exact_cosine(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(6, 32)).astype("float32")
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        near = v + rng.normal(scale=0.05, size=32).astype("float32")
+        rows.append((vid, [float(x) for x in near])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tau = 0.9
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.cosine_pairs(emb, tau=tau).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in similarity.hyperplane_lsh_pairs(emb, tau=tau, dim=32).collect()
+    }
+    for k, v in lsh.items():
+        assert exact[k] == v
+    # all planted pairs are strong near-dups; LSH with 2 bands of 4 bits
+    # should recover most of them
+    planted = {(2 * i, 2 * i + 1) for i in range(6)} & set(exact)
+    assert len(set(lsh) & planted) >= len(planted) // 2
+
+
+def test_cosine_topk_self_is_first(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    top = similarity.cosine_topk(emb, list(q0), k=5).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+
+
+# ------------------------------------------------------------ multimodal
+def test_multimodal_decode_stub_raises(spark):
+    df = spark.createDataFrame([(1, b"\x89PNG1234")], "doc_id long, payload binary")
+    with pytest.raises(Exception) as ei:
+        multimodal.decode_features(df, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
+
+
+def test_multimodal_fake_decode_partition_independent(spark):
+    rows = [(i, f"payload-{i}".encode()) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(1)
+    df8 = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(8)
+    f1 = {r["doc_id"]: r["features"] for r in multimodal.decode_features(df1, fake=True).collect()}
+    f8 = {r["doc_id"]: r["features"] for r in multimodal.decode_features(df8, fake=True).collect()}
+    assert f1 == f8
+    assert all(len(v) == multimodal.FEATURE_DIM for v in f1.values())
+
+
+def test_multimodal_magic_sniff(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n...."),
+        (2, b"\xff\xd8\xff\xe0JFIF"),
+        (3, b"RIFF....WAVE"),
+        (4, b"plain bytes"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["n_bytes"], r["sniffed_mime"])
+           for r in multimodal.attach_media_meta(df).collect()}
+    assert got[1][1] == "image/png"
+    assert got[2][1] == "image/jpeg"
+    assert got[3][1] == "audio/wav"
+    assert got[4][1] == "application/octet-stream"
+    assert got[5][0] is None
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, b"x", ("video/mp4", 0, 0, 3500)), (2, b"y", ("video/mp4", 0, 0, 500))],
+        "doc_id long, payload binary, meta struct<mime:string,width:int,height:int,duration_ms:int>",
+    )
+    got = sorted(
+        (r["doc_id"], r["ts_ms"])
+        for r in multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    )
+    assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)]
