@@ -89,33 +89,63 @@ def run_queries(spark, ix, docs) -> dict[str, float]:
     return timings
 
 
+def _scale_worker(level: int, sf_dir: str, replicate: int, n_shards: int) -> int:
+    """One timed build at one parallelism level (fresh JVM per process —
+    restarting SparkContexts in-process breaks the Python accumulator
+    server)."""
+    spark = _mk_spark(level)
+    out = tempfile.mkdtemp(prefix=f"posik-scale-{level}-")
+    try:
+        ix, _docs, build_sec = run_build(
+            spark, sf_dir, out, n_shards=n_shards, replicate=replicate
+        )
+        print(
+            "SCALE_RESULT "
+            + json.dumps(
+                {
+                    "build_sec": build_sec,
+                    "files_per_sec": ix.meta.n_docs / build_sec,
+                    "n_docs": ix.meta.n_docs,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+    return 0
+
+
 def scaling_run(sf_dir: str, cpus: int, replicate: int, runs: int = 3) -> dict:
     """Same input, same code, same n_shards; ONLY the parallelism level
     (cores + proportional shuffle partitions) differs — the sandbox
     substitute for N vs 4N executors (BASELINE.md protocol). Corpus is
     deterministically replicated so real work dominates fixed overhead.
-    Best of ``runs`` per level."""
+    Best of ``runs`` per level; each run is an isolated subprocess."""
+    import subprocess
+
     n_low = max(2, cpus // 4)
     n_shards = cpus  # identical job graph at both levels
     results = {}
     for level in (n_low, cpus):
         best = None
         for _ in range(runs):
-            spark = _mk_spark(level)
-            out = tempfile.mkdtemp(prefix=f"posik-scale-{level}-")
-            try:
-                ix, _docs, build_sec = run_build(
-                    spark, sf_dir, out, n_shards=n_shards, replicate=replicate
+            proc = subprocess.run(
+                [
+                    sys.executable, __file__, "--_scale-worker",
+                    str(level), sf_dir, str(replicate), str(n_shards),
+                ],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("SCALE_RESULT ")
+            ]
+            if proc.returncode != 0 or not line:
+                raise RuntimeError(
+                    f"scale worker level={level} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
                 )
-                if best is None or build_sec < best["build_sec"]:
-                    best = {
-                        "build_sec": build_sec,
-                        "files_per_sec": ix.meta.n_docs / build_sec,
-                        "n_docs": ix.meta.n_docs,
-                    }
-            finally:
-                shutil.rmtree(out, ignore_errors=True)
-                spark.stop()
+            r = json.loads(line[-1][len("SCALE_RESULT "):])
+            if best is None or r["build_sec"] < best["build_sec"]:
+                best = r
         results[level] = best
     eff = (results[cpus]["files_per_sec"] / results[n_low]["files_per_sec"]) / (
         cpus / n_low
@@ -167,6 +197,12 @@ PostgreSQL — /root/reference/readme.md:239)
 
 
 def main(argv: list[str] | None = None) -> int:
+    import sys as _sys
+
+    if (argv or _sys.argv[1:])[:1] == ["--_scale-worker"]:
+        a = (argv or _sys.argv[1:])[1:]
+        return _scale_worker(int(a[0]), a[1], int(a[2]), int(a[3]))
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
