@@ -52,9 +52,12 @@ class CorpusMeta:
 
 
 def prepare_docs(
-    docs: DataFrame, n_shards: int = spec.DEFAULT_N_SHARDS, use_pandas_udf: bool = True
+    docs: DataFrame,
+    n_shards: int = spec.DEFAULT_N_SHARDS,
+    use_pandas_udf: bool = True,
+    with_token_arrays: bool = False,
 ) -> DataFrame:
-    """Dedup + identity + tokenize.
+    """Dedup + identity + tokenize-and-count.
 
     doc_id = xxhash64(repo, path, commit) (deterministic, no
     monotonically_increasing_id — ids must be stable across
@@ -64,18 +67,42 @@ def prepare_docs(
     every shard holds a complete mini-index over its docs so WAND runs
     shard-locally (analog of the reference's per-site parallelism,
     /root/reference/.../service/IndexingService.java:204).
+
+    The default path FUSES tokenization and per-doc term counting into
+    ONE Arrow round trip (``counts`` column): the full token stream
+    (≈ corpus size) never crosses the Python boundary — only compact
+    (term, tfp, tfc) maps and the two lengths come back. Set
+    ``with_token_arrays=True`` to additionally materialize the raw
+    token arrays (tests / the explode+groupBy cross-check need them).
     """
-    tok = tokenize_udf if use_pandas_udf else tokenize_expr
-    return (
+    out = (
         docs.dropDuplicates(["repo", "path", "commit"])
         .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
         .withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
-        .withColumn("path_tokens", tok("path"))
-        .withColumn("content_tokens", tok("content"))
-        .withColumn("len_path", F.size("path_tokens"))
-        .withColumn("len_content", F.size("content_tokens"))
     )
+    if use_pandas_udf:
+        out = (
+            out.withColumn("_tc", _tokenize_count_udf("path", "content"))
+            .withColumn("counts", F.col("_tc.counts"))
+            .withColumn("len_path", F.col("_tc.len_path"))
+            .withColumn("len_content", F.col("_tc.len_content"))
+            .drop("_tc")
+        )
+        if with_token_arrays:
+            out = out.withColumn("path_tokens", tokenize_udf("path")).withColumn(
+                "content_tokens", tokenize_udf("content")
+            )
+    else:
+        # all-JVM variant: token arrays via codegen'd regexp exprs;
+        # counting falls back to the count-only UDF in term_freqs
+        out = (
+            out.withColumn("path_tokens", tokenize_expr("path"))
+            .withColumn("content_tokens", tokenize_expr("content"))
+            .withColumn("len_path", F.size("path_tokens"))
+            .withColumn("len_content", F.size("content_tokens"))
+        )
+    return out
 
 
 def doc_stats(prepared: DataFrame) -> DataFrame:
@@ -103,7 +130,10 @@ def term_freqs(prepared: DataFrame) -> DataFrame:
     derived at scoring time so the codec stores only ints and floats
     are recomputed identically everywhere.
     """
-    counts = _count_tokens_udf(F.col("path_tokens"), F.col("content_tokens"))
+    if "counts" in prepared.columns:  # fused prepare path: plain explode
+        counts = F.col("counts")
+    else:  # token-array path (all-JVM tokenizer variant)
+        counts = _count_tokens_udf(F.col("path_tokens"), F.col("content_tokens"))
     return (
         prepared.select(
             "doc_id", "shard", "len_path", "len_content",
@@ -148,6 +178,41 @@ def _count_tokens_udf(path_tokens, content_tokens):  # pragma: no cover (executo
             ]
         )
     return pd.Series(out)
+
+
+_PREP_TYPE = T.StructType(
+    [
+        T.StructField("counts", _COUNTS_TYPE),
+        T.StructField("len_path", T.IntegerType()),
+        T.StructField("len_content", T.IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(_PREP_TYPE)
+def _tokenize_count_udf(path, content):  # pragma: no cover (executors)
+    """Fused tokenize + count: strings in, compact (term, tfp, tfc)
+    maps + field lengths out — one Arrow round trip per doc batch."""
+    import pandas as pd
+    from collections import Counter
+
+    from posik_engine_spark.functions.tokenizer import _tokenize_series
+
+    pt = _tokenize_series(path)
+    ct = _tokenize_series(content)
+    counts, lp, lc = [], [], []
+    for p_toks, c_toks in zip(pt, ct):
+        cp = Counter(p_toks)
+        cc = Counter(c_toks)
+        counts.append(
+            [
+                {"term": t, "tfp": cp.get(t, 0), "tfc": cc.get(t, 0)}
+                for t in (cp.keys() | cc.keys())
+            ]
+        )
+        lp.append(len(p_toks))
+        lc.append(len(c_toks))
+    return pd.DataFrame({"counts": counts, "len_path": lp, "len_content": lc})
 
 
 def term_freqs_shuffle(prepared: DataFrame) -> DataFrame:

@@ -179,45 +179,64 @@ class IndexBuilder:
             return
         with _Stage(self.out_dir, "prepare") as st:
             from pyspark import StorageLevel
+            from pyspark.sql import Observation
 
             # persist the tokenized docs so the expensive tokenize UDF
             # runs ONCE for the two derived writes (tf + doc_stats);
-            # MEMORY_AND_DISK spills cleanly at scale
+            # MEMORY_AND_DISK spills cleanly at scale. The persisted
+            # shape holds compact (term, tfp, tfc) counts — never the
+            # raw token stream (build.prepare_docs fused UDF).
             prepared = B.prepare_docs(docs, n_shards=self.n_shards).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
-            tf = B.term_freqs(prepared)
+            # counters ride the write jobs as observed metrics — no
+            # separate count jobs, and on a real cluster they aggregate
+            # on executors (the Spark-native accumulator analog of the
+            # reference's IndexingMonitor polling)
+            tf_obs = Observation("tf_metrics")
+            ds_obs = Observation("ds_metrics")
+            tf = B.term_freqs(prepared).observe(
+                tf_obs, F.count(F.lit(1)).alias("postings")
+            )
+            # explicit partition count: one task per shard (AQE would
+            # coalesce a column-only repartition of a small build to one
+            # task that then writes every shard dir serially); sort
+            # prefixed by shard so the dynamic-partition writer's own
+            # sort is satisfied and skipped
             (
-                tf.repartition("shard")
+                tf.repartition(self.n_shards, "shard")
+                .sortWithinPartitions("shard", "term", "doc_id")
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(self.tf_path)
             )
             (
                 B.doc_stats(prepared)
-                .repartition("shard")
-                .sortWithinPartitions("doc_id")
+                .observe(ds_obs, F.count(F.lit(1)).alias("docs"))
+                .repartition(self.n_shards, "shard")
+                .sortWithinPartitions("shard", "doc_id")
                 .write.mode("overwrite")
                 .partitionBy("shard")
                 .parquet(self.doc_stats_path)
             )
             prepared.unpersist()
-            # counters from committed files (resume-safe, metadata-cheap)
-            st.counters["docs_tokenized"] = self.spark.read.parquet(
-                self.doc_stats_path
-            ).count()
-            st.counters["postings_emitted"] = self.spark.read.parquet(
-                self.tf_path
-            ).count()
+            st.counters["docs_tokenized"] = int(ds_obs.get["docs"])
+            st.counters["postings_emitted"] = int(tf_obs.get["postings"])
 
     def _stage_stats(self) -> None:
         if _done(self.out_dir, "stats"):
             return
         with _Stage(self.out_dir, "stats") as st:
+            from pyspark.sql import Observation
+
             tf = self.spark.read.parquet(self.tf_path)
+            terms_obs = Observation("terms")
             (
                 B.term_stats(tf)
-                .coalesce(1)
+                .observe(terms_obs, F.count(F.lit(1)).alias("terms"))
+                # repartition (NOT coalesce: coalesce would collapse the
+                # final agg itself to one task) — small dictionary files
+                .repartition(1)
                 .write.mode("overwrite")
                 .parquet(self.term_stats_path)
             )
@@ -237,7 +256,7 @@ class IndexBuilder:
             }
             with open(self.meta_path, "w") as f:
                 json.dump(meta, f)
-            st.counters["terms"] = self.spark.read.parquet(self.term_stats_path).count()
+            st.counters["terms"] = int(terms_obs.get["terms"])
 
     def _stage_blocks(self, fail_after_batch: int | None = None) -> None:
         batches = _shard_batches(self.n_shards, self.shard_batches)
@@ -247,19 +266,22 @@ class IndexBuilder:
             if _done(self.out_dir, stage):
                 continue
             with _Stage(self.out_dir, stage, partition_ids=shard_ids) as st:
+                from pyspark.sql import Observation
+
                 part = tf.filter(F.col("shard").isin(shard_ids))  # partition-pruned scan
-                blocks = build_blocks(part, block_size=self.block_size)
+                blk_obs = Observation(f"blocks_{i}")
+                blocks = build_blocks(part, block_size=self.block_size).observe(
+                    blk_obs, F.count(F.lit(1)).alias("blocks")
+                )
                 writer = (
-                    blocks.repartition("shard")
-                    .sortWithinPartitions("term", "block_id")
+                    blocks.repartition(max(1, len(shard_ids)), "shard")
+                    .sortWithinPartitions("shard", "term", "block_id")
                     .write.partitionBy("shard")
                 )
                 # per-shard dirs are written exactly once per index build,
                 # so append mode + per-batch markers give idempotent resume
                 writer.mode("append").parquet(self.blocks_path)
-                st.counters["blocks_merged"] = self.spark.read.parquet(
-                    self.blocks_path
-                ).filter(F.col("shard").isin(shard_ids)).count()
+                st.counters["blocks_merged"] = int(blk_obs.get["blocks"])
             if fail_after_batch is not None and i >= fail_after_batch:
                 raise BuildAborted(f"injected failure after batch {i}")
 
@@ -377,9 +399,9 @@ class IndexBuilder:
         deleted are dropped (S6 GC)."""
         staging = path + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
-        w = df.repartition("shard")
+        w = df.repartition(max(1, len(shards)), "shard")
         if sort_cols:
-            w = w.sortWithinPartitions(*sort_cols)
+            w = w.sortWithinPartitions("shard", *sort_cols)
         w.write.mode("overwrite").partitionBy("shard").parquet(staging)
         for s in shards:
             dst = os.path.join(path, f"shard={s}")

@@ -75,18 +75,30 @@ class SearchEngine:
         if optimize_for_queries:
             self._content = self._content.persist()
         # driver-side memo of term stats: (idf, df, ctf) or None for
-        # out-of-vocabulary terms. Bounded by distinct queried terms —
-        # a lookup cache, not a copy of the dictionary (which stays
-        # distributed; at 10^12-file scale the dict can't fit a driver).
+        # out-of-vocabulary terms. Small vocabularies load wholesale at
+        # init (spec.DRIVER_DICT_MAX_TERMS — the Lucene in-heap
+        # term-dictionary analog: no Spark job per query probe); big
+        # vocabularies keep the dictionary distributed and this is a
+        # bounded lookup cache over distinct queried terms.
         self._term_cache: dict[str, tuple[float, int, int] | None] = {}
+        self._dict_complete = False
+        if self.ix.term_stats.count() <= spec.DRIVER_DICT_MAX_TERMS:
+            for r in self.ix.term_stats.collect():
+                self._term_cache[r["term"]] = (
+                    self.ix.meta.idf(int(r["df"])), int(r["df"]), int(r["ctf"])
+                )
+            self._dict_complete = True
 
     def _term_info(self, terms: list[str]) -> dict[str, tuple[float, int, int]]:
-        missing = [t for t in terms if t not in self._term_cache]
-        if missing:
-            fetched = self.ix.term_info(missing)
-            for t in missing:
-                self._term_cache[t] = fetched.get(t)
-        return {t: v for t in terms if (v := self._term_cache[t]) is not None}
+        if not self._dict_complete:
+            missing = [t for t in terms if t not in self._term_cache]
+            if missing:
+                fetched = self.ix.term_info(missing)
+                for t in missing:
+                    self._term_cache[t] = fetched.get(t)
+        return {
+            t: v for t in terms if (v := self._term_cache.get(t)) is not None
+        }
 
     @classmethod
     def from_docs(
@@ -123,7 +135,16 @@ class SearchEngine:
             return []  # unknown term -> empty AND result
         idfs = {t: v[0] for t, v in info.items()}
         dfs = {t: v[1] for t, v in info.items()}
-        return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
+        # serving fast path: the query plan is exchange-free (persisted
+        # shard partitioning is reused), so AQE has nothing to re-plan
+        # and its per-stage materialization only adds latency
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.enabled")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
+        finally:
+            conf.set("spark.sql.adaptive.enabled", prev)
 
     def search(
         self,

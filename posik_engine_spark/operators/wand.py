@@ -17,10 +17,12 @@ three pruning levers of the north rule:
    ub, the remainder cannot enter the top-k (ties lose by the strict
    inequality), so scoring stops.
 
-Execution model: each shard is a complete mini-index over its docs, so
-the whole algorithm runs inside one cogrouped grouped-map UDF per shard
-(vectorized numpy), emitting a per-shard top-k that a driver-side
-TakeOrderedAndProject merges — no cross-shard shuffle of postings.
+Execution model: each shard is a complete mini-index over its docs, and
+blocks carry per-doc field lengths inline (Lucene-norms style), so an
+unscoped query is ONE single-input grouped-map UDF over the blocks of
+the query terms — doc_stats is only cogrouped in when a repo scope
+filter needs doc→repo. Per-shard top-k heaps merge on the driver via
+TakeOrderedAndProject — no cross-shard shuffle of postings, ever.
 """
 
 from __future__ import annotations
@@ -40,8 +42,9 @@ _CHUNK = 1024
 def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = None):
     """Decode the blocks of one term, optionally pruned to blocks whose
     doc-id range intersects candidate ids ``lo`` (sorted). Returns
-    (ids, tfp, tfc, ub_kernel) where ub_kernel is the per-doc block
-    bound kernel(max_tfp, max_tfc, min_lenp, min_lenc, avgdl)."""
+    (ids, tfp, tfc, ub_kernel, lenp, lenc) where ub_kernel is the
+    per-doc block bound kernel(max_tfp, max_tfc, min_lenp, min_lenc,
+    avgdl) and lenp/lenc are the inline per-doc field lengths."""
     from posik_engine_spark.functions import codec
 
     if lo is not None and len(bpdf):
@@ -52,11 +55,14 @@ def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = Non
         keep = (left < len(lo)) & (lo[np.minimum(left, len(lo) - 1)] <= bmax)
         bpdf = bpdf[keep]
     ids_parts, tfp_parts, tfc_parts, maxk_parts = [], [], [], []
+    lenp_parts, lenc_parts = [], []
     for r in bpdf.itertuples(index=False):
         ids = codec.decode_doc_ids(r.docs)
         ids_parts.append(ids)
         tfp_parts.append(codec.decode_counts(r.tfp))
         tfc_parts.append(codec.decode_counts(r.tfc))
+        lenp_parts.append(codec.decode_counts(r.lenp))
+        lenc_parts.append(codec.decode_counts(r.lenc))
         ubk = kernel_np(
             np.array([r.max_tfp], dtype=np.int64),
             np.array([r.max_tfc], dtype=np.int64),
@@ -67,18 +73,20 @@ def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = Non
         maxk_parts.append(np.full(len(ids), ubk))
     if not ids_parts:
         z = np.empty(0, dtype=np.int64)
-        return z, z, z, np.empty(0, dtype=np.float64)
+        return z, z, z, np.empty(0, dtype=np.float64), z, z
     return (
         np.concatenate(ids_parts),
         np.concatenate(tfp_parts),
         np.concatenate(tfc_parts),
         np.concatenate(maxk_parts),
+        np.concatenate(lenp_parts),
+        np.concatenate(lenc_parts),
     )
 
 
 def shard_topk(
     blocks_pdf: pd.DataFrame,
-    stats_pdf: pd.DataFrame,
+    stats_pdf: pd.DataFrame | None,
     terms_rarest_first: list[str],
     idfs: dict[str, float],
     avgdl: float,
@@ -86,7 +94,11 @@ def shard_topk(
     repos: list[str] | None = None,
 ) -> pd.DataFrame:
     """Pure-pandas/numpy shard-local block-max WAND (unit-testable
-    without Spark; the grouped-map UDF delegates here)."""
+    without Spark; the grouped-map UDF delegates here).
+
+    ``stats_pdf`` is only required when ``repos`` scoping is requested;
+    field lengths come from the blocks themselves.
+    """
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
     by_term = dict(tuple(blocks_pdf.groupby("term", sort=False)))
@@ -95,14 +107,14 @@ def shard_topk(
 
     # --- rarest-first intersection with block-range pruning
     t0 = terms_rarest_first[0]
-    cand, tfp0, tfc0, maxk0 = _decode_blocks(
+    cand, tfp0, tfc0, maxk0, lenp, lenc = _decode_blocks(
         by_term[t0].sort_values("block_id", kind="mergesort"), avgdl
     )
     aligned: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {
         t0: (tfp0, tfc0, maxk0)
     }
     for t in terms_rarest_first[1:]:
-        ids_t, tfp_t, tfc_t, maxk_t = _decode_blocks(
+        ids_t, tfp_t, tfc_t, maxk_t, _, _ = _decode_blocks(
             by_term[t].sort_values("block_id", kind="mergesort"), avgdl, lo=cand
         )
         common, ia, ib = np.intersect1d(
@@ -112,26 +124,27 @@ def shard_topk(
             return empty
         for prev, (a, b, c) in aligned.items():
             aligned[prev] = (a[ia], b[ia], c[ia])
+        lenp, lenc = lenp[ia], lenc[ia]
         aligned[t] = (tfp_t[ib], tfc_t[ib], maxk_t[ib])
         cand = common
 
-    # --- doc metadata lookup (lens for BM25, repo scope)
-    sids = stats_pdf["doc_id"].to_numpy(np.int64)
-    order = np.argsort(sids, kind="mergesort")
-    sids = sids[order]
-    pos = np.searchsorted(sids, cand)
-    found = (pos < len(sids)) & (sids[np.minimum(pos, len(sids) - 1)] == cand)
+    # --- optional repo scoping via doc_stats lookup
     if repos is not None:
+        sids = stats_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(sids, kind="mergesort")
+        sids = sids[order]
+        pos = np.searchsorted(sids, cand)
+        found = (pos < len(sids)) & (sids[np.minimum(pos, len(sids) - 1)] == cand)
         repo_arr = stats_pdf["repo"].to_numpy()[order]
         found &= np.isin(repo_arr[np.minimum(pos, len(sids) - 1)], repos)
-    if not found.all():
-        cand = cand[found]
-        pos = pos[found]
-        aligned = {t: (a[found], b[found], c[found]) for t, (a, b, c) in aligned.items()}
-    if len(cand) == 0:
-        return empty
-    lenp = stats_pdf["len_path"].to_numpy(np.int64)[order][pos]
-    lenc = stats_pdf["len_content"].to_numpy(np.int64)[order][pos]
+        if not found.all():
+            cand = cand[found]
+            lenp, lenc = lenp[found], lenc[found]
+            aligned = {
+                t: (a[found], b[found], c[found]) for t, (a, b, c) in aligned.items()
+            }
+        if len(cand) == 0:
+            return empty
 
     # --- block-max upper bounds + chunked early-terminated scoring
     ub = np.zeros(len(cand), dtype=np.float64)
@@ -174,21 +187,34 @@ def wand_topk(
     k: int,
     repos: list[str] | None = None,
 ) -> DataFrame:
-    """Distributed top-k: per-shard WAND UDF + driver merge."""
+    """Distributed top-k: per-shard WAND UDF + driver merge.
+
+    Unscoped: single-input grouped map over the query terms' blocks
+    (lengths are inline). Repo-scoped: cogroup with doc_stats for the
+    doc→repo lookup.
+    """
     terms = sorted(term_idfs, key=lambda t: (term_dfs.get(t, 0), t))
     if not terms:
         raise ValueError("wand_topk: empty term list")
     avgdl = ix.meta.avgdl
     idfs = dict(term_idfs)
 
-    def per_shard(_key, blocks_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
-        return shard_topk(blocks_pdf, stats_pdf, terms, idfs, avgdl, k, repos=repos)
-
     qb = ix.blocks.filter(F.col("term").isin(terms))
-    ds = ix.doc_stats.select("shard", "doc_id", "len_path", "len_content", "repo")
-    res = (
-        qb.groupBy("shard")
-        .cogroup(ds.groupBy("shard"))
-        .applyInPandas(per_shard, _OUT_SCHEMA)
-    )
+    if repos is None:
+
+        def per_shard_solo(_key, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+            return shard_topk(blocks_pdf, None, terms, idfs, avgdl, k)
+
+        res = qb.groupBy("shard").applyInPandas(per_shard_solo, _OUT_SCHEMA)
+    else:
+
+        def per_shard(_key, blocks_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+            return shard_topk(blocks_pdf, stats_pdf, terms, idfs, avgdl, k, repos=repos)
+
+        ds = ix.doc_stats.select("shard", "doc_id", "repo")
+        res = (
+            qb.groupBy("shard")
+            .cogroup(ds.groupBy("shard"))
+            .applyInPandas(per_shard, _OUT_SCHEMA)
+        )
     return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -49,6 +49,13 @@ DEFAULT_N_SALTS: int = 8
 THETA: float = 0.97
 DEFAULT_LIMIT: int = 20
 DEFAULT_OFFSET: int = 0
+# Serving fast path: when the term dictionary fits comfortably in the
+# driver (vocab <= this), SearchEngine loads it once and per-query term
+# probes become O(1) dict lookups instead of a Spark job (the Lucene
+# in-heap term-dictionary analog). Above the threshold the dictionary
+# stays distributed and queries probe it with an isin() filter — the
+# only path possible at 10^12-file vocabulary scale.
+DRIVER_DICT_MAX_TERMS: int = 1_000_000
 # Snippet window in words (reference SnippetBuilder.java:40-41).
 SNIPPET_BEFORE: int = 12
 SNIPPET_AFTER: int = 6

@@ -19,7 +19,7 @@ from posik_engine_spark.oracle import build_oracle_index, oracle_topk
 def fixture_state(spark):
     pdf = corpus.synthetic_docs_pdf(300, seed=42)
     docs = spark.createDataFrame(pdf)
-    prepared = build.prepare_docs(docs, n_shards=4).cache()
+    prepared = build.prepare_docs(docs, n_shards=4, with_token_arrays=True).cache()
     tf = build.term_freqs(prepared).cache()
     meta = build.corpus_meta(prepared)
     stats = build.term_stats(tf).cache()

@@ -97,15 +97,23 @@ def test_query_reuses_partitioning_no_exchange(ix_on_disk):
     from posik_engine_spark.operators.wand import wand_topk
 
     info = qix.term_info(["varint"])
-    res = wand_topk(qix, {t: v[0] for t, v in info.items()},
-                    {t: v[1] for t, v in info.items()}, 5)
+    idfs = {t: v[0] for t, v in info.items()}
+    dfs = {t: v[1] for t, v in info.items()}
+    # unscoped: single-input grouped map over blocks only (lengths are
+    # inline in the blocks — no doc_stats side at all)
+    res = wand_topk(qix, idfs, dfs, 5)
     plan = _plan(res)
     # Exchanges visible in the plan must only be the one-time explicit
     # repartition INSIDE the cached-relation description
-    # (REPARTITION_BY_COL). A per-query shuffle inserted to satisfy the
-    # cogroup's distribution would show as ENSURE_REQUIREMENTS.
+    # (REPARTITION_BY_COL/NUM). A per-query shuffle inserted to satisfy
+    # the grouping distribution would show as ENSURE_REQUIREMENTS.
     assert "ENSURE_REQUIREMENTS" not in plan, plan
-    assert "FlatMapCoGroupsInPandas" in plan and "InMemoryTableScan" in plan
+    assert "FlatMapGroupsInPandas" in plan and "InMemoryTableScan" in plan
+    # repo-scoped: cogroup with doc_stats, still no per-query exchange
+    res2 = wand_topk(qix, idfs, dfs, 5, repos=["repo-0"])
+    plan2 = _plan(res2)
+    assert "ENSURE_REQUIREMENTS" not in plan2, plan2
+    assert "FlatMapCoGroupsInPandas" in plan2
 
 
 def test_broadcast_used_for_small_dims(spark):
