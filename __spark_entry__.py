@@ -5,10 +5,9 @@ entry()      — flagship: build the inverted index over sf0.001
 queries()    — one entry per implemented operator family from
                SURVEY.md §2 + the training-data pipeline operators;
                each callable (spark, sf_dir) -> DataFrame.
-oracle_sql() — exactly-matching DuckDB SQL per entry (omitted only for
-               genuinely non-SQL ops: simhash banding, multimodal
-               decode plumbing — those get the rows-only check and are
-               oracle-verified in pytest instead).
+oracle_sql() — exactly-matching DuckDB SQL for EVERY entry (22/22),
+               including the bit-level simhash machinery and the
+               deterministic fake media decode.
 
 Float discipline: every float column is round(x, 6) on BOTH sides;
 deterministic orderings use rounded keys + id tie-breaks so top-k sets
@@ -235,9 +234,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """Rows-only driver check (bit-level hashing is not reasonably
-    SQL-expressible); exactness vs a pure-Python oracle is pytest-
-    verified (tests/test_pipeline_ops.py)."""
+    """SimHash near-dup pairs: 64-bit md5-vote fingerprints, 16-bit
+    pigeonhole chunk blocking, hamming <= 16. Oracle: the same bit
+    machinery written in DuckDB SQL (_sql_simhash_pairs)."""
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
 
 
@@ -290,8 +289,10 @@ def q_lineitem_summary(spark, sf_dir):
 
 
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-column plumbing: text bytes as an opaque payload; rows-
-    only check (decode is stubbed — operators/multimodal.py)."""
+    """Binary-column plumbing: text bytes as an opaque payload. The
+    deterministic fake decode (sha256-derived features) is oracle-
+    checked in SQL; a REAL decode stays stubbed
+    (operators/multimodal.py)."""
     from posik_engine_spark.operators.multimodal import attach_media_meta, decode_features
 
     d = _docs(spark, sf_dir).select(
@@ -541,6 +542,58 @@ WHERE round({cos}, 6) >= {COSINE_TAU}
 """
 
 
+def _sql_simhash_pairs(max_hamming: int = 16) -> str:
+    """SimHash pairs, bit-for-bit: md5 low-64 per term (big-endian hex
+    prefix), +-tf votes per bit, sign -> bit, signed-int64 wrap,
+    16-bit-chunk pigeonhole candidates, bit_count(xor) hamming."""
+    return f"""
+WITH toks AS ({_sql_toks()}),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 16))::UBIGINT AS h FROM tf),
+votes AS (
+  SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM h, (SELECT unnest(range(64)) AS j) bits GROUP BY 1, 2
+),
+sim0 AS (
+  SELECT doc_id, SUM(CASE WHEN v >= 0 THEN (1::HUGEINT << j) ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY 1
+),
+sim AS (
+  SELECT d.doc_id,
+    coalesce(CASE WHEN s >= 9223372036854775808::HUGEINT
+                  THEN (s - 18446744073709551616::HUGEINT)::BIGINT
+                  ELSE s::BIGINT END, -1) AS simhash
+  FROM documents d LEFT JOIN sim0 USING (doc_id)
+),
+chunks AS (
+  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS v
+  FROM sim, (SELECT unnest(range(4)) AS c) cc
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.v = b.v
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
+
+
+def _sql_multimodal_meta() -> str:
+    """payload = utf-8 bytes of text; n_bytes + magic sniff + first fake
+    feature (big-endian first sha256 word / 2^32, float32)."""
+    return """
+SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+  CASE WHEN substr(hex(text::BLOB), 1, 8) = '52494646' THEN 'audio/wav'
+       WHEN substr(hex(text::BLOB), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+       WHEN substr(hex(text::BLOB), 1, 8) = '89504E47' THEN 'image/png'
+       ELSE 'application/octet-stream' END AS sniffed_mime,
+  (('0x' || substr(sha256(text), 1, 8))::UINTEGER::DOUBLE / 4294967296.0)::FLOAT AS f0
+FROM documents
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = _sql_toks()
     stop = _sql_in(spec.STOP_TOKENS_SORTED)  # noqa: F841 (kept for debugging)
@@ -591,7 +644,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _sql_jaccard_pairs(),
         "dedup_minhash_lsh": _sql_minhash_lsh(),
-        # dedup_simhash: rows-only (bit ops; pytest-verified)
+        "dedup_simhash": _sql_simhash_pairs(),
         "ann_cosine_all": _sql_ann_all(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_lsh_pairs": _sql_ann_lsh(),
@@ -606,5 +659,5 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l_orderkey)::BIGINT AS n_orders
             FROM lineitem GROUP BY 1, 2
         """,
-        # multimodal_meta: rows-only (decode stub; plumbing pytest-verified)
+        "multimodal_meta": _sql_multimodal_meta(),
     }

@@ -74,10 +74,18 @@ def prepare_docs(
     (term, tfp, tfc) maps and the two lengths come back. Set
     ``with_token_arrays=True`` to additionally materialize the raw
     token arrays (tests / the explode+groupBy cross-check need them).
+
+    Dataflow order is tokenize-NARROW-first, dedup-after: all per-doc
+    derivation (hash, sha, tokenize+count) runs map-side on the source
+    partitioning, and the only wide exchange carries the compact
+    derived rows — the raw ``content`` column NEVER shuffles (column-
+    pruned through the dedup aggregate unless a consumer selects it).
+    A duplicate (repo, path, commit) row costs one redundant map-side
+    tokenize instead of shipping the whole corpus through an exchange —
+    at 100 TB that trade is ~0.1% wasted CPU vs a corpus-sized shuffle.
     """
     out = (
-        docs.dropDuplicates(["repo", "path", "commit"])
-        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        docs.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
         .withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
     )
@@ -102,7 +110,7 @@ def prepare_docs(
             .withColumn("len_path", F.size("path_tokens"))
             .withColumn("len_content", F.size("content_tokens"))
         )
-    return out
+    return out.dropDuplicates(["repo", "path", "commit"])
 
 
 def doc_stats(prepared: DataFrame) -> DataFrame:

@@ -14,8 +14,8 @@ __spark_entry__.py unless noted):
                         bands, never quadratic.
 - simhash64 / simhash_pairs: 64-bit SimHash (Arrow-batched UDF),
                         pigeonhole 16-bit-band blocking for hamming<=k
-                        (rows-only driver check; validated vs a pure-
-                        Python oracle in pytest).
+                        (validated vs a pure-Python oracle in pytest
+                        AND a DuckDB SQL oracle in __spark_entry__.py).
 
 Portable hashing: every hash that must match the SQL oracle is md5 over
 explicit strings — minhash takes the lexicographic MIN of md5 hex

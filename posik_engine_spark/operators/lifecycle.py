@@ -168,7 +168,12 @@ class IndexBuilder:
     # ------------------------------------------------------------ build
     def build(self, docs: DataFrame, fail_after_batch: int | None = None) -> Index:
         """Run (or resume) the full build. Stages with existing markers
-        are skipped, making reruns after a crash idempotent."""
+        are skipped, making reruns after a crash idempotent.
+
+        Stage boundaries exchange data through the committed parquet
+        (tf/, doc_stats/): columnar re-reads are cheap and the files ARE
+        the resume checkpoint — no cross-stage in-memory state to lose.
+        """
         self._stage_prepare(docs)
         self._stage_stats()
         self._stage_blocks(fail_after_batch=fail_after_batch)
@@ -181,30 +186,32 @@ class IndexBuilder:
             from pyspark import StorageLevel
             from pyspark.sql import Observation
 
-            # persist the tokenized docs so the expensive tokenize UDF
-            # runs ONCE for the two derived writes (tf + doc_stats);
-            # MEMORY_AND_DISK spills cleanly at scale. The persisted
-            # shape holds compact (term, tfp, tfc) counts — never the
-            # raw token stream (build.prepare_docs fused UDF).
-            prepared = B.prepare_docs(docs, n_shards=self.n_shards).persist(
-                StorageLevel.MEMORY_AND_DISK
-            )
+            # persist a SLIM projection of the tokenized docs so the
+            # expensive tokenize UDF runs ONCE for the two derived
+            # writes (tf + doc_stats). Deliberately excludes ``content``
+            # and the raw token stream: neither consumer needs them, and
+            # caching corpus-sized payload columns is pure GC/IO churn
+            # that does not parallelize (measured: the cache insert
+            # dominated the stage and froze its scaling).
+            prepared = B.prepare_docs(docs, n_shards=self.n_shards).select(
+                "doc_id", "repo", "path", "commit", "lang", "content_sha",
+                "shard", "counts", "len_path", "len_content",
+            ).persist(StorageLevel.MEMORY_AND_DISK)
             # counters ride the write jobs as observed metrics — no
             # separate count jobs, and on a real cluster they aggregate
             # on executors (the Spark-native accumulator analog of the
             # reference's IndexingMonitor polling)
             tf_obs = Observation("tf_metrics")
             ds_obs = Observation("ds_metrics")
-            tf = B.term_freqs(prepared).observe(
-                tf_obs, F.count(F.lit(1)).alias("postings")
-            )
             # explicit partition count: one task per shard (AQE would
             # coalesce a column-only repartition of a small build to one
             # task that then writes every shard dir serially); sort
             # prefixed by shard so the dynamic-partition writer's own
             # sort is satisfied and skipped
             (
-                tf.repartition(self.n_shards, "shard")
+                B.term_freqs(prepared)
+                .observe(tf_obs, F.count(F.lit(1)).alias("postings"))
+                .repartition(self.n_shards, "shard")
                 .sortWithinPartitions("shard", "term", "doc_id")
                 .write.mode("overwrite")
                 .partitionBy("shard")
@@ -268,7 +275,13 @@ class IndexBuilder:
             with _Stage(self.out_dir, stage, partition_ids=shard_ids) as st:
                 from pyspark.sql import Observation
 
-                part = tf.filter(F.col("shard").isin(shard_ids))  # partition-pruned scan
+                # partition-pruned scan + EXPLICIT exchange width: one
+                # encode task per shard. Without it AQE sizes the
+                # groupBy(shard) reducers on compact posting bytes and
+                # coalesces the expensive encode stage to a few tasks.
+                part = tf.filter(F.col("shard").isin(shard_ids)).repartition(
+                    max(1, len(shard_ids)), "shard"
+                )
                 blk_obs = Observation(f"blocks_{i}")
                 blocks = build_blocks(part, block_size=self.block_size).observe(
                     blk_obs, F.count(F.lit(1)).alias("blocks")

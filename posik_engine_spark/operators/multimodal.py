@@ -50,7 +50,11 @@ def _fake_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real decoder: FEATURE_DIM floats
     from the sha256 of the payload (stable, partition-independent)."""
     h = hashlib.sha256(payload or b"").digest()
-    raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    # big-endian words: SQL engines can rebuild these from the hex
+    # digest with plain substr (the DuckDB oracle does)
+    raw = np.frombuffer(
+        (h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4], dtype=">u4"
+    )
     return (raw.astype(np.float64) / np.float64(2**32)).astype(np.float32)
 
 

@@ -37,7 +37,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep Arrow batches ~MBs, not ~100 MB: with realistic (~10 KB)
+        # docs, 10k-row batches made every Python worker map/unmap
+        # 100+ MB buffers per batch — measured 3x slowdown from
+        # allocator/page-fault churn at 32 concurrent workers
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
