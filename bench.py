@@ -224,7 +224,9 @@ def scaling_run(
     }
 
 
-def write_baseline_md(sf_dir: str, scale: dict, queries: dict[str, float]) -> None:
+def write_baseline_md(
+    sf_dir: str, scale: dict, queries: dict[str, float], cpus: int = 32
+) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = scale["low"], scale["high"]
     r = scale["results"]
@@ -262,7 +264,7 @@ steal time) are suppressed by best-of-N.
 scaling_efficiency = (thr_high / thr_low) / ({hi}/{lo}) = **{scale['efficiency']:.3f}**
 (target >= 0.8 per BASELINE.json)
 
-## Query latency (reference query suite, warm engine, local[{hi}])
+## Query latency (reference query suite, warm engine, local[{cpus}])
 
 p50 = **{p50:.3f} s** (reference readme example: 0.420 s, single-node
 PostgreSQL — /root/reference/readme.md:239)
@@ -328,7 +330,7 @@ def main(argv: list[str] | None = None) -> int:
             runs=args.runs, inflate=args.inflate,
         )
         result["scaling_efficiency"] = round(scale["efficiency"], 4)
-        write_baseline_md(args.sf_dir, scale, timings)
+        write_baseline_md(args.sf_dir, scale, timings, cpus=args.cpus)
 
     print(json.dumps(result))
     return 0
