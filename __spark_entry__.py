@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from posik_engine_spark import spec
 from posik_engine_spark.functions.tokenizer import tokenize_expr, tokenize_sql_duckdb
 from posik_engine_spark.operators import build as B
-from posik_engine_spark.operators import dedup, similarity, textops
+from posik_engine_spark.operators import dedup, sampling, similarity, textops
 from posik_engine_spark.operators.index import build_index
 from posik_engine_spark.operators.score import score_terms
 from posik_engine_spark.operators.wand import wand_topk
@@ -240,6 +240,29 @@ def q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components (iterative min-label
+    propagation); cluster_id = min doc_id of the component."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), tau=JACCARD_TAU, n=SHINGLE_N)
+    return dedup.dup_clusters(pairs)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic ~10% sample by md5-threshold on doc_id."""
+    return sampling.stratified_sample(_docs(spark, sf_dir), fraction=0.1).select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def q_token_batches(spark, sf_dir):
+    """Fixed-token-budget training batches per source stratum."""
+    toks = textops.token_count(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens")
+    )
+    d = _docs(spark, sf_dir).select("doc_id", "source").join(toks, "doc_id")
+    return sampling.pack_token_batches(d, token_budget=2000)
+
+
 def q_ann_cosine_all(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -321,6 +344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "dedup_exact": q_dedup_exact,
+        "dup_clusters": q_dup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "token_batches": q_token_batches,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -580,6 +606,48 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
 """
 
 
+def _sql_dup_clusters() -> str:
+    """Connected components over the jaccard pairs via a recursive
+    reachability CTE; cluster = min reachable doc_id."""
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_jaccard_pairs()}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+def _sql_stratified_sample(fraction: float = 0.1) -> str:
+    threshold = int(fraction * sampling.SAMPLE_BUCKETS)
+    return f"""
+SELECT doc_id, source, n_chars::BIGINT AS n_chars FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UINTEGER < {threshold}
+"""
+
+
+def _sql_token_batches(budget: int = 2000) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, len({tokenize_sql_duckdb('text')})::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, source, n_tokens,
+  (floor(coalesce(SUM(n_tokens) OVER (
+     PARTITION BY source ORDER BY doc_id
+     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+   / {budget}))::BIGINT AS batch_id
+FROM t
+"""
+
+
 def _sql_multimodal_meta() -> str:
     """payload = utf-8 bytes of text; n_bytes + magic sniff + first fake
     feature (big-endian first sha256 word / 2^32, float32)."""
@@ -645,6 +713,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _sql_jaccard_pairs(),
         "dedup_minhash_lsh": _sql_minhash_lsh(),
         "dedup_simhash": _sql_simhash_pairs(),
+        "dup_clusters": _sql_dup_clusters(),
+        "stratified_sample": _sql_stratified_sample(),
+        "token_batches": _sql_token_batches(),
         "ann_cosine_all": _sql_ann_all(),
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_lsh_pairs": _sql_ann_lsh(),

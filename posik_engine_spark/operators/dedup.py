@@ -259,3 +259,62 @@ def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+# ------------------------------------------------- duplicate clusters
+def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Resolve near-dup pairs into connected components:
+    (doc_id, cluster_id = min doc_id of the component).
+
+    Iterative min-label propagation — each round every node adopts the
+    smallest label among itself and its neighbors; converges to the
+    unique fixpoint (per-component min id), so the result is
+    deterministic regardless of partitioning or iteration batching.
+    Rounds are driver-controlled Spark jobs over (node, label) pairs;
+    the edge list is reused across rounds. Label propagation doubles
+    the reached radius only 1 hop/round — fine for dedup components,
+    which are small and dense; diameter-heavy graphs would want
+    alternating star contraction instead.
+
+    Only docs appearing in >= 1 pair are emitted (singletons are not
+    duplicates of anything).
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -341,9 +341,14 @@ class IndexBuilder:
         stale = stale.cache()
         n_stale = stale.count()
         stale_shards = {r["shard"] for r in stale.select("shard").distinct().collect()}
+        # slim projection before caching (content excluded — same
+        # rationale as _stage_prepare)
         prepared_new = B.prepare_docs(
             new_or_changed.select("repo", "path", "commit", "lang", "content"),
             n_shards=self.n_shards,
+        ).select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha",
+            "shard", "counts", "len_path", "len_content",
         ).cache()
         new_shards = [r["shard"] for r in prepared_new.select("shard").distinct().collect()]
         affected = sorted(stale_shards | set(new_shards))

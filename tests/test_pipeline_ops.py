@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from posik_engine_spark.functions.tokenizer import tokenize_py
-from posik_engine_spark.operators import dedup, multimodal, similarity
+from posik_engine_spark.operators import dedup, multimodal, sampling, similarity
 
 
 @pytest.fixture(scope="module")
@@ -169,3 +169,49 @@ def test_frame_sample_plan(spark):
         for r in multimodal.frame_sample_plan(df, every_ms=1000).collect()
     )
     assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)]
+
+
+# ---------------------------------------------- clusters / sampling
+def test_dup_clusters_equals_union_find(spark):
+    """Iterative min-label propagation must equal a pure-python
+    union-find over the same pair list (incl. a chain that needs
+    multiple propagation rounds)."""
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (4, 5)]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(pdf).collect()}
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in pairs:
+        union(a, b)
+    expect = {x: find(x) for x in parent}
+    assert got == expect
+
+
+def test_stratified_sample_deterministic(spark):
+    df = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    s1 = sorted(r["doc_id"] for r in sampling.stratified_sample(df, 0.2).collect())
+    s2 = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_sample(df.repartition(7), 0.2).collect()
+    )
+    assert s1 == s2  # partitioning-independent membership
+    assert 0.15 < len(s1) / 2000 < 0.25
+
+
+def test_pack_token_batches_budget(spark):
+    rows = [(i, "s", 600) for i in range(10)]  # 600 tokens each
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = {r["doc_id"]: r["batch_id"] for r in
+           sampling.pack_token_batches(df, token_budget=2000).collect()}
+    # start offsets 0,600,...,5400 -> floor(offset/2000)
+    assert got == {i: (i * 600) // 2000 for i in range(10)}
