@@ -291,7 +291,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
             .groupBy(F.col("a").alias("doc_id"))
@@ -305,6 +305,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
             )
             .cache()
         )
+        if (it + 1) % 5 == 0:
+            # iterative joins grow the logical plan each round; truncate
+            # the lineage periodically or planning time (and recovery
+            # cost) explodes at real iteration counts
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
