@@ -63,7 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("posik-build-index").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    docs = adapt_source(spark, args.source)
+    from posik_engine_spark.sources import read_docs
+
+    docs = read_docs(spark, args.source)
     if args.filter:
         docs = docs.filter(args.filter)
 
