@@ -92,12 +92,16 @@ def shard_topk(
     avgdl: float,
     k: int,
     repos: list[str] | None = None,
+    diag: dict | None = None,
 ) -> pd.DataFrame:
     """Pure-pandas/numpy shard-local block-max WAND (unit-testable
     without Spark; the grouped-map UDF delegates here).
 
     ``stats_pdf`` is only required when ``repos`` scoping is requested;
-    field lengths come from the blocks themselves.
+    field lengths come from the blocks themselves. Pass ``diag={}`` to
+    collect pruning counters (postings_decoded, candidates,
+    candidates_scored) — the effectiveness tests use them; the UDF path
+    passes nothing.
     """
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
@@ -113,10 +117,14 @@ def shard_topk(
     aligned: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {
         t0: (tfp0, tfc0, maxk0)
     }
+    if diag is not None:
+        diag["postings_decoded"] = len(cand)
     for t in terms_rarest_first[1:]:
         ids_t, tfp_t, tfc_t, maxk_t, _, _ = _decode_blocks(
             by_term[t].sort_values("block_id", kind="mergesort"), avgdl, lo=cand
         )
+        if diag is not None:
+            diag["postings_decoded"] = diag["postings_decoded"] + len(ids_t)
         common, ia, ib = np.intersect1d(
             cand, ids_t, assume_unique=True, return_indices=True
         )
@@ -176,6 +184,9 @@ def shard_topk(
 
     idx = np.concatenate(scored_idx)
     val = np.concatenate(scored_val)
+    if diag is not None:
+        diag["candidates"] = len(cand)
+        diag["candidates_scored"] = int(len(idx))
     sel = np.lexsort((cand[idx], -val))[:k]
     return pd.DataFrame({"doc_id": cand[idx][sel], "score": val[sel]})
 
