@@ -290,6 +290,21 @@ def q_ann_lsh_pairs(spark, sf_dir):
     return similarity.hyperplane_lsh_pairs(emb, tau=COSINE_TAU, dim=64)
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (batch oracle form of the stateful
+    streaming operator streaming/sessionize.py): 30-min gap sessions
+    per user over the events table."""
+    from posik_engine_spark.streaming.sessionize import sessionize_batch
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts", "value")
+    out = sessionize_batch(e, gap_minutes=30)
+    return out.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -354,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "events_hourly": q_events_hourly,
+        "sessionize": q_sessionize,
         "lineitem_summary": q_lineitem_summary,
         "multimodal_meta": q_multimodal_meta,
     }
@@ -723,6 +739,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+              FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+            FROM sess GROUP BY user_id, sess_id
         """,
         "lineitem_summary": """
             SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_rows,
