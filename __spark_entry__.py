@@ -5,9 +5,10 @@ entry()      — flagship: build the inverted index over sf0.001
 queries()    — one entry per implemented operator family from
                SURVEY.md §2 + the training-data pipeline operators;
                each callable (spark, sf_dir) -> DataFrame.
-oracle_sql() — exactly-matching DuckDB SQL for EVERY entry (22/22),
-               including the bit-level simhash machinery and the
-               deterministic fake media decode.
+oracle_sql() — exactly-matching DuckDB SQL for EVERY queries() entry
+               (set equality is pytest-enforced), including the
+               bit-level simhash machinery, recursive-CTE connected
+               components, and the deterministic fake media decode.
 
 Float discipline: every float column is round(x, 6) on BOTH sides;
 deterministic orderings use rounded keys + id tie-breaks so top-k sets

@@ -32,6 +32,16 @@ from posik_engine_spark import spec
 from posik_engine_spark.functions.tokenizer import tokenize_expr, tokenize_udf
 
 
+# the build-state projection of prepare_docs output: everything the tf
+# and doc_stats writes need, and nothing payload-sized (content/token
+# arrays are deliberately absent — caching them is GC churn). Both the
+# full build and the incremental path persist exactly this.
+PREPARED_SLIM_COLS = [
+    "doc_id", "repo", "path", "commit", "lang", "content_sha",
+    "shard", "counts", "len_path", "len_content",
+]
+
+
 @dataclass(frozen=True)
 class CorpusMeta:
     """Exact-integer corpus totals; avgdl derived in Python (spec.py)."""

@@ -291,6 +291,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .cache()
     )
+    converged = False
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges["b"] == labels["doc_id"])
@@ -308,8 +309,11 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         if (it + 1) % 5 == 0:
             # iterative joins grow the logical plan each round; truncate
             # the lineage periodically or planning time (and recovery
-            # cost) explodes at real iteration counts
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # cost) explodes at real iteration counts. localCheckpoint
+            # materializes, so the interim cache can be dropped at once.
+            checkpointed = new_labels.localCheckpoint(eager=True)
+            new_labels.unpersist()
+            new_labels = checkpointed
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -320,6 +324,15 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # silent non-convergence would emit labels != component min —
+        # wrong dedup keepers with no sign of trouble
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_iters} rounds (component diameter exceeds max_iters); "
+            f"raise max_iters"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

@@ -42,6 +42,10 @@ BLOCKS_SCHEMA = (
     "max_tfp int, max_tfc int, min_lenp int, min_lenc int, "
     "docs binary, tfp binary, tfc binary, lenp binary, lenc binary"
 )
+# bump when BLOCKS_SCHEMA (or codec layout) changes incompatibly; on-
+# disk indexes record it and loads/resumes refuse a mismatch instead of
+# failing obscurely at decode time (v2 = inline lenp/lenc norms)
+INDEX_FORMAT_VERSION = 2
 
 
 def kernel_np(
@@ -216,6 +220,7 @@ def save_index(ix: Index, path: str) -> None:
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
+                "format_version": INDEX_FORMAT_VERSION,
                 "n_docs": ix.meta.n_docs,
                 "sum_len_path": ix.meta.sum_len_path,
                 "sum_len_content": ix.meta.sum_len_content,
@@ -225,9 +230,20 @@ def save_index(ix: Index, path: str) -> None:
         )
 
 
+def check_format_version(meta: dict, where: str) -> None:
+    v = meta.get("format_version")
+    if v != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"{where}: index format_version={v} does not match this build "
+            f"({INDEX_FORMAT_VERSION}); rebuild the index (the blocks "
+            f"schema/codec changed incompatibly)"
+        )
+
+
 def load_index(spark: SparkSession, path: str) -> Index:
     with open(os.path.join(path, "meta.json")) as f:
         m = json.load(f)
+    check_format_version(m, f"load_index({path})")
     return Index(
         blocks=spark.read.parquet(os.path.join(path, "blocks")),
         doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),

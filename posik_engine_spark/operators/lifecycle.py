@@ -143,6 +143,30 @@ class IndexBuilder:
         self.shard_batches = shard_batches
         self.block_size = block_size
         os.makedirs(out_dir, exist_ok=True)
+        # version-stamp the build dir: resuming a partial build written
+        # by an incompatible blocks schema would append mixed-schema
+        # parquet and fail obscurely at decode time — refuse up front
+        from posik_engine_spark.operators.index import INDEX_FORMAT_VERSION
+
+        vpath = os.path.join(out_dir, "_format_version")
+        if os.path.exists(vpath):
+            with open(vpath) as f:
+                v = int(f.read().strip() or 0)
+            if v != INDEX_FORMAT_VERSION:
+                raise ValueError(
+                    f"IndexBuilder({out_dir}): existing build state has "
+                    f"format_version={v}, this build writes "
+                    f"{INDEX_FORMAT_VERSION}; delete the directory or "
+                    f"rebuild from scratch"
+                )
+        elif os.path.exists(os.path.join(out_dir, "_markers")):
+            raise ValueError(
+                f"IndexBuilder({out_dir}): existing build state predates "
+                f"format versioning; delete the directory and rebuild"
+            )
+        else:
+            with open(vpath, "w") as f:
+                f.write(str(INDEX_FORMAT_VERSION))
 
     # ------------------------------------------------------------ paths
     @property
@@ -194,8 +218,7 @@ class IndexBuilder:
             # that does not parallelize (measured: the cache insert
             # dominated the stage and froze its scaling).
             prepared = B.prepare_docs(docs, n_shards=self.n_shards).select(
-                "doc_id", "repo", "path", "commit", "lang", "content_sha",
-                "shard", "counts", "len_path", "len_content",
+                *B.PREPARED_SLIM_COLS
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # counters ride the write jobs as observed metrics — no
             # separate count jobs, and on a real cluster they aggregate
@@ -346,10 +369,7 @@ class IndexBuilder:
         prepared_new = B.prepare_docs(
             new_or_changed.select("repo", "path", "commit", "lang", "content"),
             n_shards=self.n_shards,
-        ).select(
-            "doc_id", "repo", "path", "commit", "lang", "content_sha",
-            "shard", "counts", "len_path", "len_content",
-        ).cache()
+        ).select(*B.PREPARED_SLIM_COLS).cache()
         new_shards = [r["shard"] for r in prepared_new.select("shard").distinct().collect()]
         affected = sorted(stale_shards | set(new_shards))
         if not affected:

@@ -65,6 +65,16 @@ class SearchEngine:
         optimize_for_queries: bool = True,
     ):
         self.spark = spark
+        self._prev_aqe: str | None = None
+        if optimize_for_queries:
+            # serving fast path: query plans are exchange-free (the
+            # persisted shard partitioning is reused), so AQE has
+            # nothing to re-plan and its per-stage materialization only
+            # adds latency. Set ONCE here — a per-query save/toggle/
+            # restore races under concurrent searches and can leave the
+            # session with AQE permanently off. close() restores.
+            self._prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         self.ix = ix.prepare_for_queries() if optimize_for_queries else ix
         # content joined back only for the top-k (content never enters
         # the scoring plan — column pruning by construction)
@@ -135,16 +145,13 @@ class SearchEngine:
             return []  # unknown term -> empty AND result
         idfs = {t: v[0] for t, v in info.items()}
         dfs = {t: v[1] for t, v in info.items()}
-        # serving fast path: the query plan is exchange-free (persisted
-        # shard partitioning is reused), so AQE has nothing to re-plan
-        # and its per-stage materialization only adds latency
-        conf = self.spark.conf
-        prev = conf.get("spark.sql.adaptive.enabled")
-        conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
-        finally:
-            conf.set("spark.sql.adaptive.enabled", prev)
+        return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
+
+    def close(self) -> None:
+        """Restore session conf mutated for serving (see __init__)."""
+        if self._prev_aqe is not None:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self._prev_aqe)
+            self._prev_aqe = None
 
     def search(
         self,

@@ -24,10 +24,18 @@ shape, so swapping storage needs no other change.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 DOCS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+# strict dotted identifier (db.table / catalog.db.table) — a relative
+# file path like "docs.parquet" or "data.v2" must NOT match, it should
+# fall through to the filesystem reader and give a path error there
+_TABLE_ID_RE = re.compile(
+    r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)+$"
+)
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
@@ -45,7 +53,10 @@ def read_docs(spark: SparkSession, source: str) -> DataFrame:
     and project it to the canonical input_hint shape."""
     from posik_engine_spark.jobs.build_index import adapt_source
 
-    if not os.path.exists(source) and "." in source and "/" not in source:
+    looks_like_file = source.lower().endswith(
+        (".parquet", ".pq", ".orc", ".json", ".csv")
+    )
+    if not os.path.exists(source) and not looks_like_file and _TABLE_ID_RE.match(source):
         if _iceberg_available(spark):
             df = spark.read.format("iceberg").load(source)
         else:

@@ -88,16 +88,23 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 
 def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Batch oracle: lag + gap-flag cumsum session ids, then one agg."""
+    """Batch oracle: lag + gap-flag cumsum session ids, then one agg.
+
+    Gap comparison is sub-second exact: timestamps cast to fractional
+    epoch seconds (unix_timestamp would TRUNCATE to whole seconds and
+    disagree with both the streaming operator's microsecond arithmetic
+    and the DuckDB epoch() oracle on gaps within 1 s of the boundary).
+    """
     gap_s = gap_minutes * 60
     w = Window.partitionBy("user_id").orderBy("ts")
+    # cast via TIMESTAMP (LTZ): TIMESTAMP_NTZ sources cannot cast to
+    # double directly; the zone shift cancels in the difference
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    prev_sec = F.lag(ts_sec).over(w)
     flagged = events.withColumn(
         "new_sess",
         (
-            F.coalesce(
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)),
-                F.lit(None),
-            )
+            F.coalesce(ts_sec - prev_sec, F.lit(None))
             > gap_s
         ).cast("int"),
     ).withColumn(

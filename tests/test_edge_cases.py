@@ -76,3 +76,67 @@ def test_prepare_docs_null_content(spark):
     assert rows["a"]["content_sha"] == (
         "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
     )
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    # chain 0-1-2-...-5 needs ~5 propagation rounds; max_iters=2 must
+    # raise instead of silently emitting non-minimal labels
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iters=2)
+
+
+def test_index_format_version_guard(spark, tmp_path):
+    import json
+
+    from posik_engine_spark.operators import index as ix_mod
+    from posik_engine_spark.operators.lifecycle import IndexBuilder
+
+    docs = spark.createDataFrame(
+        [("r", "a.py", "c", "py", "alpha beta")], DOCS_SCHEMA
+    )
+    out = str(tmp_path / "ix")
+    ix = ix_mod.build_index(docs, n_shards=2)
+    ix_mod.save_index(ix, out)
+    # tampered version -> load refuses
+    with open(f"{out}/meta.json") as f:
+        meta = json.load(f)
+    meta["format_version"] = 1
+    with open(f"{out}/meta.json", "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="format_version"):
+        ix_mod.load_index(spark, out)
+
+    # builder dir stamped with an older version -> init refuses
+    bdir = str(tmp_path / "bld")
+    IndexBuilder(spark, bdir, n_shards=2)  # stamps current version
+    with open(f"{bdir}/_format_version", "w") as f:
+        f.write("1")
+    with pytest.raises(ValueError, match="format_version=1"):
+        IndexBuilder(spark, bdir, n_shards=2)
+
+    # pre-versioning partial state (markers, no stamp) -> init refuses
+    import os
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(f"{legacy}/_markers")
+    with pytest.raises(ValueError, match="predates"):
+        IndexBuilder(spark, legacy, n_shards=2)
+
+
+def test_sessionize_batch_subsecond_gap(spark):
+    import datetime as dt
+
+    from posik_engine_spark.streaming.sessionize import sessionize_batch
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        # 1800.5s later: JUST over the 30-min gap -> new session;
+        # whole-second truncation would call it 1800 -> same session
+        (1, t0 + dt.timedelta(seconds=1800, microseconds=500_000), 2.0),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = sessionize_batch(e, gap_minutes=30).collect()
+    assert len(out) == 2, out
