@@ -276,7 +276,10 @@ class IndexBuilder:
                 F.sum("len_path").alias("slp"),
                 F.sum("len_content").alias("slc"),
             ).collect()[0]
+            from posik_engine_spark.operators.index import INDEX_FORMAT_VERSION
+
             meta = {
+                "format_version": INDEX_FORMAT_VERSION,
                 "n_docs": int(row["n"]),
                 "sum_len_path": int(row["slp"] or 0),
                 "sum_len_content": int(row["slc"] or 0),

@@ -116,6 +116,16 @@ class SearchEngine:
     ) -> "SearchEngine":
         return cls(spark, build_index(docs, n_shards=n_shards), docs)
 
+    @classmethod
+    def from_index_dir(
+        cls, spark: SparkSession, index_dir: str, docs: DataFrame
+    ) -> "SearchEngine":
+        """Serve from an on-disk index (IndexBuilder output or
+        save_index dir); ``docs`` is the content store for snippets."""
+        from posik_engine_spark.operators.index import load_index
+
+        return cls(spark, load_index(spark, index_dir), docs)
+
     # ---------------------------------------------------------- Q2/Q3
     def filter_query_terms(self, raw_terms: list[str]) -> list[str]:
         """DF-threshold stop filter + rarest-first (CTF asc) ordering.

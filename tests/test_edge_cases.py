@@ -140,3 +140,23 @@ def test_sessionize_batch_subsecond_gap(spark):
     e = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
     out = sessionize_batch(e, gap_minutes=30).collect()
     assert len(out) == 2, out
+
+
+def test_search_engine_from_index_dir(spark, tmp_path):
+    from posik_engine_spark.operators.lifecycle import IndexBuilder
+    from posik_engine_spark.operators.search import SearchEngine
+
+    docs = spark.createDataFrame(
+        [
+            ("r", "a.py", "c", "py", "alpha beta gamma"),
+            ("r", "b.py", "c", "py", "delta beta"),
+            ("r", "c.py", "c", "py", "epsilon zeta"),
+        ],
+        DOCS_SCHEMA,
+    )
+    out = str(tmp_path / "ix")
+    IndexBuilder(spark, out, n_shards=2).build(docs)
+    engine = SearchEngine.from_index_dir(spark, out, docs)
+    resp = engine.search("beta")
+    assert resp.count == 2
+    engine.close()
