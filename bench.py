@@ -304,7 +304,14 @@ def main(argv: list[str] | None = None) -> int:
     spark = _mk_spark(args.cpus)
     out = tempfile.mkdtemp(prefix="posik-bench-ix-")
     try:
-        ix, docs, build_sec = run_build(spark, args.sf_dir, out, n_shards=args.cpus)
+        # shard count scales with corpus size (the memory knob, README
+        # scale notes): tiny corpora under one shard per ~500 docs just
+        # pay per-shard task/file overhead. Footer-only count, no scan.
+        n_docs_src = spark.read.parquet(
+            os.path.join(args.sf_dir, "documents.parquet")
+        ).count()
+        n_shards = max(4, min(args.cpus, n_docs_src // 500))
+        ix, docs, build_sec = run_build(spark, args.sf_dir, out, n_shards=n_shards)
         timings = run_queries(spark, ix, docs)
     finally:
         shutil.rmtree(out, ignore_errors=True)
