@@ -60,6 +60,11 @@ def varint_decode(buf: bytes) -> np.ndarray:
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=_U64)
+    if b[-1] & 0x80:
+        # the final byte carries a continuation bit: the stream is
+        # truncated (corrupt block) — fail with the real cause instead
+        # of an unrelated numpy broadcast error downstream
+        raise ValueError("varint_decode: truncated stream (corrupt posting block)")
     is_last = (b & 0x80) == 0
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))

@@ -103,6 +103,11 @@ class SearchEngine:
         if not self._dict_complete:
             missing = [t for t in terms if t not in self._term_cache]
             if missing:
+                if len(self._term_cache) > spec.DRIVER_DICT_MAX_TERMS:
+                    # bound the lookup cache in the big-vocab path:
+                    # arbitrary OOV query terms (cached as None) must
+                    # not grow driver memory without limit
+                    self._term_cache.clear()
                 fetched = self.ix.term_info(missing)
                 for t in missing:
                     self._term_cache[t] = fetched.get(t)
@@ -158,10 +163,20 @@ class SearchEngine:
         return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
 
     def close(self) -> None:
-        """Restore session conf mutated for serving (see __init__)."""
+        """Release serving state: restore the session conf mutated in
+        __init__ and unpersist the query-optimized caches (index tables
+        + content store) — engines constructed repeatedly in one session
+        would otherwise accumulate dead cached RDDs."""
         if self._prev_aqe is not None:
             self.spark.conf.set("spark.sql.adaptive.enabled", self._prev_aqe)
             self._prev_aqe = None
+        for df in (
+            self.ix.blocks, self.ix.doc_stats, self.ix.term_stats, self._content
+        ):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
     def search(
         self,
@@ -179,20 +194,32 @@ class SearchEngine:
         terms = self.filter_query_terms(raw)
         repos = [repo] if repo is not None else None
 
-        hits = []
+        # Relaxation triggers on an empty PAGINATED slice, exactly like
+        # the reference (the emptiness check runs on the SQL result that
+        # already applied limit/offset — SearchService.java:101-114,
+        # PageRepository.java:36-37): offset past the end of a match
+        # set also relaxes.
+        window: list = []
         while terms:
             hits = self._topk(terms, offset + limit, repos)
-            if hits:
+            window = hits[offset : offset + limit]
+            if window:
                 break
             terms = terms[1:]  # drop rarest (SearchService.java:110)
+        if not window:
+            # reference: nothing found after relaxation -> error
+            # (SearchService.java:62-64)
+            raise SearchError(f"nothing found for query {query!r}")
 
-        window = hits[offset : offset + limit]
         message = self._correct_query_message(query, raw, terms)
         rows = self._assemble(window, terms)
         return SearchResponse(
             result=True,
             message=message,
-            count=len(hits),
+            # reference count = size of the RETURNED window
+            # (searchResults.size(), SearchService.java:86), not the
+            # total match count
+            count=len(window),
             hits=rows,
             surviving_terms=terms,
             elapsed_sec=time.time() - t_start,

@@ -66,16 +66,18 @@ def oracle_scores(
 ) -> dict[int, float]:
     """AND-semantics per-doc BM25; sum folds ascending by term."""
     terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("oracle_scores: empty term list")
     cand: set[int] | None = None
     for t in terms:
         docs = set(ix.postings.get(t, {}))
         cand = docs if cand is None else (cand & docs)
         if not cand:
             return {}
-    assert cand is not None
     if repos is not None:
         cand = {d for d in cand if ix.doc_repo.get(d) in repos}
     avgdl = ix.avgdl
+    idfs = {t: spec.idf(ix.n_docs, len(ix.postings[t])) for t in terms}
     out: dict[int, float] = {}
     for d in cand:
         lp, lc = ix.doc_len[d]
@@ -84,8 +86,7 @@ def oracle_scores(
         for t in terms:  # ascending term order — same fold as the engine
             tp, tc = ix.postings[t][d]
             wtf = tp * spec.FIELD_WEIGHT_PATH + tc * spec.FIELD_WEIGHT_CONTENT
-            idf_val = spec.idf(ix.n_docs, len(ix.postings[t]))
-            acc += spec.bm25_term_score(wtf, dl, avgdl, idf_val)
+            acc += spec.bm25_term_score(wtf, dl, avgdl, idfs[t])
         out[d] = acc
     return out
 
@@ -145,4 +146,6 @@ def oracle_search(
         if hits:
             return hits, terms
         terms = terms[1:]  # drop the rarest (reference SearchService.java:110)
-    return [], []
+    # reference: nothing found after relaxation -> error
+    # (SearchService.java:62-64)
+    raise SearchError(f"nothing found for query {query!r}")

@@ -15,8 +15,10 @@ DOCS_SCHEMA = "repo string, path string, commit string, lang string, content str
 def test_empty_corpus_search(spark):
     docs = spark.createDataFrame([], DOCS_SCHEMA)
     engine = SearchEngine.from_docs(spark, docs, n_shards=4)
-    resp = engine.search("anything at all")
-    assert resp.count == 0 and resp.hits == []
+    # reference parity: nothing found after relaxation -> error
+    # (SearchService.java:62-64)
+    with pytest.raises(SearchError, match="nothing found"):
+        engine.search("anything at all")
     stats = engine.statistics()
     assert stats["total"]["pages"] == 0 and stats["total"]["lemmas"] == 0
 
@@ -24,13 +26,14 @@ def test_empty_corpus_search(spark):
 def test_single_doc_corpus_theta_quirk(spark):
     """With one doc, EVERY present term has df = n_docs >= theta*n_docs
     and is dropped by the popularity filter — the reference's kept
-    quirk (SURVEY.md §8.3): a 1-page site can't match anything."""
+    quirk (SURVEY.md §8.3): a 1-page site can't match anything, and
+    nothing-found raises per reference error semantics."""
     docs = spark.createDataFrame(
         [("r", "a.py", "c1", "py", "alpha beta gamma alpha")], DOCS_SCHEMA
     )
     engine = SearchEngine.from_docs(spark, docs, n_shards=4)
-    resp = engine.search("alpha")
-    assert resp.count == 0 and resp.surviving_terms == []
+    with pytest.raises(SearchError, match="nothing found"):
+        engine.search("alpha")
 
 
 def test_tiny_corpus_hit(spark):
@@ -160,3 +163,30 @@ def test_search_engine_from_index_dir(spark, tmp_path):
     resp = engine.search("beta")
     assert resp.count == 2
     engine.close()
+
+
+def test_offset_past_end_relaxes_like_reference(spark):
+    """Reference relaxes on an empty PAGINATED slice (the SQL result
+    already has limit/offset applied): offset past the AND-match set
+    must drop the rarest term and serve the relaxed query's page —
+    engine and pure-python oracle must agree exactly."""
+    from posik_engine_spark.oracle import build_oracle_index, oracle_search
+
+    docs = spark.createDataFrame(
+        [
+            ("r", "a.py", "c", "py", "alpha beta common one"),
+            ("r", "b.py", "c", "py", "beta common two"),
+            ("r", "c.py", "c", "py", "common three"),
+        ],
+        DOCS_SCHEMA,
+    )
+    engine = SearchEngine.from_docs(spark, docs, n_shards=2)
+    resp = engine.search("alpha beta", offset=1, limit=5)
+    prepared = build.prepare_docs(docs, n_shards=2)
+    rows = prepared.select("doc_id", "repo", "path", "content").collect()
+    oracle_ix = build_oracle_index([r.asDict() for r in rows])
+    exp_hits, exp_terms = oracle_search(oracle_ix, "alpha beta", offset=1, limit=5)
+    assert resp.surviving_terms == exp_terms == ["beta"]
+    got = [(h[0], h[6]) for h in resp.hits]
+    assert got == exp_hits and len(got) == 1
+    assert resp.count == 1  # reference count = window size
