@@ -77,7 +77,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     t0 = time.time()
     if args.incremental:
-        ix = builder.incremental_update(docs)
+        # a --filter'ed snapshot is a SUBSET of the corpus: docs outside
+        # the predicate must not be GC'd (single-doc reindex semantics,
+        # SURVEY.md §3.3 / reference IndexingMonitor.java:53-57)
+        ix = builder.incremental_update(docs, partial=args.filter is not None)
     else:
         ix = builder.build(docs)
     elapsed = time.time() - t0

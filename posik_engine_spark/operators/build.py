@@ -120,6 +120,14 @@ def prepare_docs(
             .withColumn("len_path", F.size("path_tokens"))
             .withColumn("len_content", F.size("content_tokens"))
         )
+    if docs.isStreaming:
+        # dropDuplicates on a stream is a STATEFUL operator whose
+        # per-key state never expires without a watermark policy —
+        # exactly the unbounded-state trap a "narrow, append-safe"
+        # streaming tokenize stage must not hide. Streaming consumers
+        # dedup at the sink (incremental_index_sink dedups its batch
+        # log; the batch engine dedups on every (re)build).
+        return out
     return out.dropDuplicates(["repo", "path", "commit"])
 
 

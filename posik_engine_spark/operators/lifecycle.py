@@ -312,17 +312,46 @@ class IndexBuilder:
                 blocks = build_blocks(part, block_size=self.block_size).observe(
                     blk_obs, F.count(F.lit(1)).alias("blocks")
                 )
-                writer = (
+                # stage + per-shard move, NOT a raw append: a crash in
+                # the window between a raw append's job commit and the
+                # marker write would re-append the whole batch on
+                # resume (duplicate blocks). The move overwrites the
+                # same shard dirs on retry — idempotent.
+                staging = self.blocks_path + f".staging_{i:04d}"
+                shutil.rmtree(staging, ignore_errors=True)
+                (
                     blocks.repartition(max(1, len(shard_ids)), "shard")
                     .sortWithinPartitions("shard", "term", "block_id")
-                    .write.partitionBy("shard")
+                    .write.mode("overwrite")
+                    .partitionBy("shard")
+                    .parquet(staging)
                 )
-                # per-shard dirs are written exactly once per index build,
-                # so append mode + per-batch markers give idempotent resume
-                writer.mode("append").parquet(self.blocks_path)
+                os.makedirs(self.blocks_path, exist_ok=True)
+                for s in shard_ids:
+                    src = os.path.join(staging, f"shard={s}")
+                    dst = os.path.join(self.blocks_path, f"shard={s}")
+                    shutil.rmtree(dst, ignore_errors=True)
+                    if os.path.isdir(src):
+                        shutil.move(src, dst)
+                shutil.rmtree(staging, ignore_errors=True)
                 st.counters["blocks_merged"] = int(blk_obs.get["blocks"])
             if fail_after_batch is not None and i >= fail_after_batch:
                 raise BuildAborted(f"injected failure after batch {i}")
+
+    def is_complete(self) -> bool:
+        """True iff every build stage (prepare, stats, ALL block
+        batches) has committed its marker — the only safe 'index
+        exists' signal (meta.json lands at the stats stage, before
+        blocks)."""
+        n_batches = len(_shard_batches(self.n_shards, self.shard_batches))
+        return (
+            _done(self.out_dir, "prepare")
+            and _done(self.out_dir, "stats")
+            and all(
+                _done(self.out_dir, f"blocks_batch_{i:04d}")
+                for i in range(n_batches)
+            )
+        )
 
     # ------------------------------------------------------------- load
     def load(self) -> Index:
@@ -344,15 +373,26 @@ class IndexBuilder:
         return agg
 
     # ------------------------------------------------- incremental (B8)
-    def incremental_update(self, snapshot: DataFrame) -> Index:
+    def incremental_update(self, snapshot: DataFrame, partial: bool = False) -> Index:
         """Delta reindex against a new source snapshot + deleted-doc GC.
 
         Unchanged docs (same repo/path/commit/content_sha) are never
         re-tokenized; only shards containing changed/new/stale docs are
         rewritten. Produces an index identical to a full rebuild of the
-        snapshot (tests assert byte-equality of blocks)."""
+        snapshot (tests assert byte-equality of blocks).
+
+        ``partial=True`` declares the snapshot a SUBSET of the corpus
+        (e.g. one repo or one file — the reference's single-page
+        reindex, SURVEY.md §3.3): docs absent from a partial snapshot
+        are NOT deleted — exactly like the reference monitor skipping
+        deleted-page GC for single-page indexing
+        (/root/reference/.../service/IndexingMonitor.java:53-57).
+        Superseded versions of docs that ARE in the snapshot (same
+        repo/path, different commit/sha) still count as stale.
+        """
         spark = self.spark
         t0 = time.time()
+        self.recover_incremental()  # finish a crashed prior commit first
         snap_keys = (
             snapshot.dropDuplicates(["repo", "path", "commit"])
             .withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
@@ -362,7 +402,14 @@ class IndexBuilder:
         new_or_changed = snap_keys.join(
             old_ds.select(*DOC_KEY), DOC_KEY, "left_anti"
         )
-        stale = old_ds.join(snap_keys.select(*DOC_KEY), DOC_KEY, "left_anti")
+        if partial:
+            # stale = old versions of snapshot docs only (match on the
+            # doc identity, differ in commit/sha)
+            stale = old_ds.join(
+                snap_keys.select("repo", "path"), ["repo", "path"], "left_semi"
+            ).join(snap_keys.select(*DOC_KEY), DOC_KEY, "left_anti")
+        else:
+            stale = old_ds.join(snap_keys.select(*DOC_KEY), DOC_KEY, "left_anti")
 
         stale = stale.cache()
         n_stale = stale.count()
@@ -391,37 +438,36 @@ class IndexBuilder:
         merged_ds = kept_ds.unionByName(B.doc_stats(prepared_new))
 
         with _Stage(self.out_dir, f"incremental_{t0:.0f}", partition_ids=affected) as st:
-            self._overwrite_shards(merged_tf, self.tf_path, affected, sort_cols=None)
-            self._overwrite_shards(
-                merged_ds, self.doc_stats_path, affected, sort_cols=["doc_id"]
+            # ---- phase 1: stage EVERYTHING (no live table touched).
+            # Blocks are computed from the STAGED tf so the live tf is
+            # never read after any move — a crash anywhere in this
+            # phase leaves the index untouched (retry restages).
+            self._stage_table(merged_tf, self._staging("tf"), affected, sort_cols=None)
+            self._stage_table(
+                merged_ds, self._staging("doc_stats"), affected, sort_cols=["doc_id"]
             )
             new_blocks = build_blocks(
-                spark.read.parquet(self.tf_path).filter(F.col("shard").isin(affected)),
-                block_size=self.block_size,
+                spark.read.parquet(self._staging("tf")), block_size=self.block_size
             )
-            self._overwrite_shards(
-                new_blocks, self.blocks_path, affected, sort_cols=["term", "block_id"]
+            self._stage_table(
+                new_blocks, self._staging("blocks"), affected,
+                sort_cols=["term", "block_id"],
             )
-            # declarative global recompute (no decrement arithmetic)
-            tf_all = spark.read.parquet(self.tf_path)
-            B.term_stats(tf_all).coalesce(1).write.mode("overwrite").parquet(
-                self.term_stats_path
-            )
-            ds_all = spark.read.parquet(self.doc_stats_path)
-            row = ds_all.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("len_path").alias("slp"),
-                F.sum("len_content").alias("slc"),
-            ).collect()[0]
-            with open(self.meta_path) as f:
-                meta = json.load(f)
-            meta.update(
-                n_docs=int(row["n"]),
-                sum_len_path=int(row["slp"] or 0),
-                sum_len_content=int(row["slc"] or 0),
-            )
-            with open(self.meta_path, "w") as f:
-                json.dump(meta, f)
+            # ---- phase 2: intent record, then idempotent moves. A
+            # crash between any two moves is recovered by
+            # _finish_incremental_commit() replaying from the intent
+            # (per-table staged-shard lists disambiguate 'already
+            # moved' from 'shard now empty').
+            intent = {
+                "affected": affected,
+                "staged": {
+                    t: self._staged_shard_list(self._staging(t))
+                    for t in ("tf", "doc_stats", "blocks")
+                },
+            }
+            with open(self._intent_path, "w") as f:
+                json.dump(intent, f)
+            self._finish_incremental_commit()
             st.counters["docs_tokenized"] = prepared_new.count()
             st.counters["docs_deleted"] = n_stale
             st.counters["shards_rewritten"] = len(affected)
@@ -429,25 +475,92 @@ class IndexBuilder:
         stale.unpersist()
         return self.load()
 
-    def _overwrite_shards(
-        self, df: DataFrame, path: str, shards: list[int], sort_cols: list[str] | None
+    # -------------------------------------- incremental commit plumbing
+    @property
+    def _intent_path(self) -> str:
+        return os.path.join(self.out_dir, "_incremental_intent.json")
+
+    def _staging(self, table: str) -> str:
+        return os.path.join(self.out_dir, table) + ".staging"
+
+    @staticmethod
+    def _staged_shard_list(staging: str) -> list[int]:
+        if not os.path.isdir(staging):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(staging)
+            if d.startswith("shard=")
+        )
+
+    def _stage_table(
+        self, df: DataFrame, staging: str, shards: list[int], sort_cols: list[str] | None
     ) -> None:
-        """Replace exactly the affected shard dirs. The plan may READ
-        ``path`` itself, so the new data is staged to a sibling dir
-        first and shard dirs are swapped after the job commits —
+        """Write the affected shards' new rows to a sibling staging dir
+        (the plan may READ the live table, so nothing is moved here) —
         parquet's stand-in for Iceberg's atomic overwritePartitions /
-        MERGE INTO (SURVEY.md §2 S4). Shards whose docs were all
-        deleted are dropped (S6 GC)."""
-        staging = path + ".staging"
+        MERGE INTO (SURVEY.md §2 S4)."""
         shutil.rmtree(staging, ignore_errors=True)
         w = df.repartition(max(1, len(shards)), "shard")
         if sort_cols:
             w = w.sortWithinPartitions("shard", *sort_cols)
         w.write.mode("overwrite").partitionBy("shard").parquet(staging)
-        for s in shards:
-            dst = os.path.join(path, f"shard={s}")
-            src = os.path.join(staging, f"shard={s}")
-            shutil.rmtree(dst, ignore_errors=True)
-            if os.path.isdir(src):
-                shutil.move(src, dst)
-        shutil.rmtree(staging, ignore_errors=True)
+
+    def _finish_incremental_commit(self) -> None:
+        """Apply (or crash-replay) the staged shard moves recorded in
+        the intent file, recompute the derived tables, then clear the
+        intent. Idempotent: every step either moves a still-staged dir,
+        skips an already-moved one, or overwrites a derived output."""
+        with open(self._intent_path) as f:
+            intent = json.load(f)
+        affected = intent["affected"]
+        tables = {"tf": self.tf_path, "doc_stats": self.doc_stats_path,
+                  "blocks": self.blocks_path}
+        for t, final in tables.items():
+            staging = self._staging(t)
+            staged = set(intent["staged"][t])
+            for s in affected:
+                dst = os.path.join(final, f"shard={s}")
+                src = os.path.join(staging, f"shard={s}")
+                if s in staged:
+                    if os.path.isdir(src):
+                        shutil.rmtree(dst, ignore_errors=True)
+                        shutil.move(src, dst)
+                    # else: already moved by a previous attempt
+                else:
+                    # shard empty in the new state (all docs deleted)
+                    shutil.rmtree(dst, ignore_errors=True)
+        # derived tables: declarative global recompute from the final
+        # on-disk state (no decrement arithmetic); idempotent overwrite
+        spark = self.spark
+        tf_all = spark.read.parquet(self.tf_path)
+        B.term_stats(tf_all).repartition(1).write.mode("overwrite").parquet(
+            self.term_stats_path
+        )
+        ds_all = spark.read.parquet(self.doc_stats_path)
+        row = ds_all.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("len_path").alias("slp"),
+            F.sum("len_content").alias("slc"),
+        ).collect()[0]
+        with open(self.meta_path) as f:
+            meta = json.load(f)
+        meta.update(
+            n_docs=int(row["n"]),
+            sum_len_path=int(row["slp"] or 0),
+            sum_len_content=int(row["slc"] or 0),
+        )
+        with open(self.meta_path, "w") as f:
+            json.dump(meta, f)
+        os.remove(self._intent_path)
+        for t in tables:
+            shutil.rmtree(self._staging(t), ignore_errors=True)
+
+    def recover_incremental(self) -> bool:
+        """Finish a crashed incremental commit if an intent record
+        exists (call before serving or updating). Returns True if a
+        replay ran."""
+        if os.path.exists(self._intent_path):
+            self._finish_incremental_commit()
+            return True
+        return False

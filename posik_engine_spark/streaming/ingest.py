@@ -93,27 +93,23 @@ def incremental_index_sink(
         spark = batch_df.sparkSession
         import os
 
-        if os.path.exists(builder.meta_path):
-            # existing corpus = whatever the index knows + the new batch
-            known = spark.read.parquet(builder.doc_stats_path).select(
-                "repo", "path", "commit"
-            )
-            # re-read original content for known docs is unnecessary:
-            # incremental_update ignores unchanged (repo,path,commit,sha)
-            # rows entirely, so passing only their identity with the new
-            # batch would delete them. Instead the stream keeps its own
-            # append-only docs log and reindexes the union.
-            log_path = os.path.join(builder.out_dir, "_docs_log")
-            batch_df.write.mode("append").parquet(log_path)
-            snapshot = (
-                spark.read.parquet(log_path)
-                .dropDuplicates(["repo", "path", "commit"])
-            )
+        # the stream keeps its own append-only docs log: passing only
+        # the new batch to incremental_update would delete everything
+        # else (a snapshot is the whole corpus), so each micro-batch
+        # reindexes the deduped union of the log.
+        log_path = os.path.join(builder.out_dir, "_docs_log")
+        batch_df.write.mode("append").parquet(log_path)
+        snapshot = (
+            spark.read.parquet(log_path)
+            .dropDuplicates(["repo", "path", "commit"])
+        )
+        if builder.is_complete():
             builder.incremental_update(snapshot)
         else:
-            log_path = os.path.join(builder.out_dir, "_docs_log")
-            batch_df.write.mode("append").parquet(log_path)
-            builder.build(spark.read.parquet(log_path))
+            # initial build missing or crashed mid-way (meta.json alone
+            # is NOT a completion signal — it lands before the blocks
+            # stage); build() resumes from the last committed stage
+            builder.build(snapshot)
 
     return (
         docs_stream.writeStream.outputMode("append")

@@ -10,7 +10,17 @@ passes last_ts + gap (event-time timeout), emitting
 
 Batch oracle: sessionize_batch computes identical sessions with a
 window/lag/cumsum dataflow (SURVEY.md guide 'sessionization' pattern) —
-the streaming operator must match it exactly on the same input.
+the streaming operator matches it exactly for in-watermark-order
+arrivals per user (tests/test_sessionize.py).
+
+Known limitation (documented, not hidden): an event arriving LATE
+relative to the user's current open session (t < session_start, still
+inside the watermark) is merged into that session rather than
+re-opening history — the state holds one (start,last,n,sum) tuple, not
+the raw event buffer. Exact late-data re-sessionization would buffer
+events in state until the watermark passes (GroupState supports array
+state + getCurrentWatermarkMs); at pipeline scale the approximation is
+the standard trade and the batch dataflow is the exact recompute path.
 """
 
 from __future__ import annotations
@@ -32,8 +42,17 @@ STATE_SCHEMA = "start long, last long, n long, s double"
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """events: streaming DF with (user_id, ts, value) — requires an
-    event-time watermark already applied to ``ts``."""
+    event-time watermark already applied to ``ts``.
+
+    Timezone note: Arrow hands the UDF NAIVE wall-clock timestamps in
+    the session timezone, but setTimeoutTimestamp expects TRUE epoch
+    millis — the session offset is captured driver-side and applied to
+    the timeout (gap arithmetic is differences, where the offset
+    cancels). With a non-UTC session timezone an unshifted timeout
+    would fire hours early/late.
+    """
     gap_us = gap_minutes * 60 * 1_000_000
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -70,7 +89,11 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 out.append((start, last, n, s))
                 start, last, n, s = t, t, 1, float(v)
         state.update((start, last, n, s))
-        state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        # naive-local -> true epoch for the timeout registration
+        last_epoch_ms = (
+            pd.Timestamp(last, unit="us").tz_localize(tz).value // 1_000_000
+        )
+        state.setTimeoutTimestamp(last_epoch_ms + gap_minutes * 60 * 1000)
         if out:
             yield pd.DataFrame(
                 {

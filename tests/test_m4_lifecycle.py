@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from posik_engine_spark import corpus
+from posik_engine_spark.operators import lifecycle
 from posik_engine_spark.operators.lifecycle import (
     BuildAborted,
     IndexBuilder,
@@ -125,3 +126,81 @@ def test_hot_term_spreads_over_shards(spark, docs_df, tmp_path_factory):
     assert len(per_shard) == 8
     total = sum(per_shard.values())
     assert max(per_shard.values()) < 0.5 * total
+
+
+def test_partial_incremental_preserves_other_docs(spark, tmp_path):
+    """--filter'ed snapshot (partial=True): docs outside the snapshot
+    must survive (reference single-page reindex skips deleted-page GC,
+    IndexingMonitor.java:53-57)."""
+    docs = corpus.synthetic_docs(spark, 60, seed=11).cache()
+    out = str(tmp_path / "ix")
+    b = IndexBuilder(spark, out, n_shards=4)
+    b.build(docs)
+    n0 = b.load().meta.n_docs
+
+    one = docs.limit(1).select("repo", "path", "lang", "content").withColumn(
+        "commit", F.lit("fffffff0")
+    ).select("repo", "path", "commit", "lang", "content")
+    ix = b.incremental_update(one, partial=True)
+    # one NEW commit of an existing path added; nothing deleted except
+    # nothing (old commit of same path differs by commit -> stays too,
+    # since partial stale matching is by (repo,path) + differing DOC_KEY
+    # ... the old commit row has different commit so it IS stale)
+    assert ix.meta.n_docs == n0  # old version replaced by new, rest kept
+
+
+def test_incremental_commit_crash_replay(spark, tmp_path, monkeypatch):
+    """Kill the commit between table moves -> recover_incremental
+    replays to a state identical to an uninterrupted update."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    docs_v1 = corpus.synthetic_docs(spark, 50, seed=21).cache()
+    snap_v2 = docs_v1.withColumn(
+        "content",
+        F.when(F.col("path").contains("mod_3"), F.concat(F.col("content"), F.lit("\nchanged token")))
+        .otherwise(F.col("content")),
+    ).cache()
+
+    out_a = str(tmp_path / "a")
+    ba = lifecycle.IndexBuilder(spark, out_a, n_shards=4)
+    ba.build(docs_v1)
+
+    orig = lifecycle.IndexBuilder._finish_incremental_commit
+    state = {"crashed": False}
+
+    def crashing(self):
+        if not state["crashed"]:
+            state["crashed"] = True
+            with open(self._intent_path) as f:
+                intent = _json.load(f)
+            staging = self._staging("tf")
+            staged = set(intent["staged"]["tf"])
+            for s in intent["affected"]:
+                src = _os.path.join(staging, f"shard={s}")
+                dst = _os.path.join(self.tf_path, f"shard={s}")
+                if s in staged and _os.path.isdir(src):
+                    _shutil.rmtree(dst, ignore_errors=True)
+                    _shutil.move(src, dst)
+            raise RuntimeError("injected crash mid-commit")
+        return orig(self)
+
+    monkeypatch.setattr(lifecycle.IndexBuilder, "_finish_incremental_commit", crashing)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        ba.incremental_update(snap_v2)
+    monkeypatch.setattr(lifecycle.IndexBuilder, "_finish_incremental_commit", orig)
+    assert ba.recover_incremental()
+    ix_a = ba.load()
+
+    # ground truth: clean full rebuild of v2
+    out_b = str(tmp_path / "b")
+    bb = lifecycle.IndexBuilder(spark, out_b, n_shards=4)
+    ix_b = bb.build(snap_v2)
+
+    rows_a = sorted(map(tuple, ix_a.blocks.collect()))
+    rows_b = sorted(map(tuple, ix_b.blocks.collect()))
+    assert rows_a == rows_b
+    assert ix_a.meta.n_docs == ix_b.meta.n_docs
