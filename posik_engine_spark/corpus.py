@@ -95,19 +95,14 @@ def synthetic_docs(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFram
 
 
 def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adapt the driver's documents parquet into the docs shape.
+    """Adapt the driver's documents parquet into the docs shape
+    (delegates to the single identity-mapping rule in
+    jobs/build_index.adapt_source: repo=source, path=doc/<doc_id>,
+    commit='00000000' — two copies of the rule would let doc_ids
+    diverge between the API path and the spark-submit path)."""
+    from posik_engine_spark.jobs.build_index import adapt_source
 
-    doc identity is deterministic: repo=source, path=doc/<doc_id>,
-    commit='00000000'. lang/content pass through.
-    """
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
-        F.col("source").alias("repo"),
-        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
-        F.lit("00000000").alias("commit"),
-        F.col("lang").alias("lang"),
-        F.col("text").alias("content"),
-    )
+    return adapt_source(spark, f"{sf_dir}/documents.parquet")
 
 
 # Reference query set (FIXTURES.md F2): mix of rare/hot/AND/relaxation/
