@@ -4,23 +4,22 @@ pipeline — no built-in Spark operator emits one row per closed session
 with arbitrary per-session aggregates).
 
 Semantics: events of a user belong to one session while consecutive
-event gaps stay <= gap; a session closes when the event-time watermark
-passes last_ts + gap (event-time timeout), emitting
-(user_id, session_start, session_end, n_events, sum_value).
+event gaps stay <= gap; a session is emitted once the event-time
+watermark guarantees no admissible event can extend or bridge it
+(watermark > session_end + gap).
+
+EXACT under out-of-order arrival: the per-user state holds the RAW
+buffered events still inside the closable horizon (not a collapsed
+(start,last,n,sum) tuple), and every invocation re-sessionizes the
+sorted buffer — so a late event that re-opens, extends, or BRIDGES two
+buffered sessions lands exactly where the batch dataflow would put it.
+State is bounded by the watermark delay x per-user event rate: closed
+sessions' events are emitted and dropped from the buffer each round.
 
 Batch oracle: sessionize_batch computes identical sessions with a
-window/lag/cumsum dataflow (SURVEY.md guide 'sessionization' pattern) —
-the streaming operator matches it exactly for in-watermark-order
-arrivals per user (tests/test_sessionize.py).
-
-Known limitation (documented, not hidden): an event arriving LATE
-relative to the user's current open session (t < session_start, still
-inside the watermark) is merged into that session rather than
-re-opening history — the state holds one (start,last,n,sum) tuple, not
-the raw event buffer. Exact late-data re-sessionization would buffer
-events in state until the watermark passes (GroupState supports array
-state + getCurrentWatermarkMs); at pipeline scale the approximation is
-the standard trade and the batch dataflow is the exact recompute path.
+window/lag/cumsum dataflow — the streaming operator must match it
+exactly on the same delivered-event set (in-order and out-of-order
+arrivals; tests/test_sessionize.py).
 """
 
 from __future__ import annotations
@@ -37,7 +36,23 @@ OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
 )
-STATE_SCHEMA = "start long, last long, n long, s double"
+# raw event buffer: naive-local microsecond timestamps + values
+STATE_SCHEMA = "ts array<long>, vals array<double>"
+
+
+def _sessions(ts_us: list[int], vals: list[float], gap_us: int):
+    """Split a SORTED event buffer into [(start, end, n, sum)] runs."""
+    out = []
+    start = last = ts_us[0]
+    n, s = 1, float(vals[0])
+    for t, v in zip(ts_us[1:], vals[1:]):
+        if t - last <= gap_us:
+            last, n, s = t, n + 1, s + float(v)
+        else:
+            out.append((start, last, n, s))
+            start, last, n, s = t, t, 1, float(v)
+    out.append((start, last, n, s))
+    return out
 
 
 def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
@@ -45,63 +60,75 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     event-time watermark already applied to ``ts``.
 
     Timezone note: Arrow hands the UDF NAIVE wall-clock timestamps in
-    the session timezone, but setTimeoutTimestamp expects TRUE epoch
-    millis — the session offset is captured driver-side and applied to
-    the timeout (gap arithmetic is differences, where the offset
-    cancels). With a non-UTC session timezone an unshifted timeout
-    would fire hours early/late.
+    the session timezone, while the watermark/timeout APIs speak TRUE
+    epoch millis — the session timezone is captured driver-side and the
+    conversions happen at the two boundaries (gap arithmetic itself is
+    differences, where the offset cancels).
     """
     gap_us = gap_minutes * 60 * 1_000_000
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def to_epoch_ms(naive_us: int) -> int:
+        return pd.Timestamp(naive_us, unit="us").tz_localize(tz).value // 1_000_000
+
+    def wm_to_naive_us(wm_ms: int) -> int:
+        return (
+            pd.Timestamp(wm_ms, unit="ms", tz="UTC")
+            .tz_convert(tz)
+            .tz_localize(None)
+            .value
+            // 1_000
+        )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        if state.hasTimedOut:
-            start, last, n, s = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [user_id],
-                    "session_start": [pd.Timestamp(start, unit="us")],
-                    "session_end": [pd.Timestamp(last, unit="us")],
-                    "n_events": [n],
-                    "sum_value": [s],
-                }
-            )
-            return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        ts_us = rows["ts"].astype("int64") // 1000  # ns -> us
-        vals = rows["value"].astype("float64")
+        # merge incoming events into the buffered raw-event state
         if state.exists:
-            start, last, n, s = state.get
+            buf_ts, buf_vals = state.get
+            buf_ts, buf_vals = list(buf_ts), list(buf_vals)
         else:
-            start, last, n, s = None, 0, 0, 0.0
-        out = []
-        for t, v in zip(ts_us, vals):
-            t = int(t)
-            if start is None:
-                start, last, n, s = t, t, 1, float(v)
-            elif t - last <= gap_us:
-                last, n, s = max(last, t), n + 1, s + float(v)
-            else:
-                out.append((start, last, n, s))
-                start, last, n, s = t, t, 1, float(v)
-        state.update((start, last, n, s))
-        # naive-local -> true epoch for the timeout registration
-        last_epoch_ms = (
-            pd.Timestamp(last, unit="us").tz_localize(tz).value // 1_000_000
-        )
-        state.setTimeoutTimestamp(last_epoch_ms + gap_minutes * 60 * 1000)
-        if out:
+            buf_ts, buf_vals = [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts = pdf["ts"].astype("int64") // 1000  # ns -> us
+                buf_ts.extend(int(t) for t in ts)
+                buf_vals.extend(float(v) for v in pdf["value"])
+        if not buf_ts:
+            state.remove()
+            return
+        order = sorted(range(len(buf_ts)), key=buf_ts.__getitem__)
+        buf_ts = [buf_ts[i] for i in order]
+        buf_vals = [buf_vals[i] for i in order]
+
+        runs = _sessions(buf_ts, buf_vals, gap_us)
+        # a session is closed iff no admissible event (t >= watermark)
+        # can extend it: end + gap < watermark
+        wm_naive_us = wm_to_naive_us(state.getCurrentWatermarkMs())
+        closed = [r for r in runs if r[1] + gap_us < wm_naive_us]
+        kept = [r for r in runs if not r[1] + gap_us < wm_naive_us]
+
+        if kept:
+            # retain ONLY the raw events of still-open sessions
+            keep_from = kept[0][0]
+            idx = next(i for i, t in enumerate(buf_ts) if t >= keep_from)
+            state.update((buf_ts[idx:], buf_vals[idx:]))
+            # wake when the earliest open session becomes closable
+            state.setTimeoutTimestamp(
+                to_epoch_ms(kept[0][1]) + gap_minutes * 60 * 1000 + 1
+            )
+        else:
+            state.remove()
+
+        if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id] * len(out),
-                    "session_start": [pd.Timestamp(a, unit="us") for a, _, _, _ in out],
-                    "session_end": [pd.Timestamp(b, unit="us") for _, b, _, _ in out],
-                    "n_events": [n_ for _, _, n_, _ in out],
-                    "sum_value": [s_ for _, _, _, s_ in out],
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(a, unit="us") for a, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(b, unit="us") for _, b, _, _ in closed],
+                    "n_events": [n for _, _, n, _ in closed],
+                    "sum_value": [s for _, _, _, s in closed],
                 }
             )
 

@@ -59,3 +59,57 @@ def test_stream_sessions_equal_batch_oracle(spark, tmp_path):
     }
     assert expect, "oracle produced no sessions"
     assert got == expect, f"missing={expect - got}\nextra={got - expect}"
+
+
+def test_stream_sessions_exact_under_out_of_order(spark, tmp_path):
+    """Late (in-watermark) events that extend AND bridge earlier
+    sessions must land exactly where the batch dataflow puts them —
+    the state buffers raw events, not collapsed aggregates."""
+    schema = "user_id long, ts timestamp, value double"
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    batch1 = [
+        (1, base, 1.0),                           # 10:00
+        (1, base + timedelta(minutes=10), 2.0),   # 10:10
+        (1, base + timedelta(minutes=120), 3.0),  # 12:00
+    ]
+    # arrives LATER but is event-time earlier: extends the first
+    # session (10:30) and bridges toward 12:00 (11:30)
+    batch2 = [
+        (1, base + timedelta(minutes=30), 4.0),   # 10:30
+        (1, base + timedelta(minutes=90), 5.0),   # 11:30
+    ]
+    flush = [(999, datetime(2024, 3, 1), 0.0)]
+
+    in_dir = str(tmp_path / "ev")
+    for rows in (batch1, batch2, flush):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .withWatermark("ts", "3 hours")
+    )
+    q = (
+        sessionize.sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_ooo")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from sessions_ooo").collect()
+    }
+    expect = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize.sessionize_batch(
+            spark.createDataFrame(batch1 + batch2, schema), gap_minutes=30
+        ).collect()
+    }
+    # expected structure: [10:00..10:30] and [11:30..12:00]
+    assert len(expect) == 2
+    assert got == expect, f"missing={expect - got}\nextra={got - expect}"
