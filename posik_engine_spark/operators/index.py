@@ -241,6 +241,16 @@ def check_format_version(meta: dict, where: str) -> None:
 
 
 def load_index(spark: SparkSession, path: str) -> Index:
+    # refuse to serve a dir whose incremental commit crashed half-way
+    # (some shard dirs moved, derived tables stale): the pending intent
+    # means the on-disk state is inconsistent until replayed.
+    if os.path.exists(os.path.join(path, "_incremental_intent.json")):
+        raise ValueError(
+            f"load_index({path}): a pending incremental commit exists "
+            f"(_incremental_intent.json) — the index is mid-commit and "
+            f"inconsistent. Recover first: IndexBuilder(spark, path, "
+            f"...).recover_incremental(), then load."
+        )
     with open(os.path.join(path, "meta.json")) as f:
         m = json.load(f)
     check_format_version(m, f"load_index({path})")

@@ -355,6 +355,10 @@ class IndexBuilder:
 
     # ------------------------------------------------------------- load
     def load(self) -> Index:
+        # a crash mid _finish_incremental_commit leaves the live tables
+        # half-moved with the intent pending — replay it before handing
+        # out an Index, or we'd serve the inconsistent state
+        self.recover_incremental()
         with open(self.meta_path) as f:
             m = json.load(f)
         return Index(

@@ -11,6 +11,7 @@ SearchService.java:101-114) until hit or empty.
 from __future__ import annotations
 
 import time
+import weakref
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,8 +55,27 @@ class SearchResponse:
         return self._data
 
 
+def _restore_conf(spark: SparkSession, key: str, value: str) -> None:
+    """GC-time finalizer target (module-level so it holds no engine
+    ref); best-effort — the session may already be stopped."""
+    try:
+        spark.conf.set(key, value)
+    except Exception:
+        pass
+
+
 class SearchEngine:
-    """Index + content store + query-side semantics."""
+    """Index + content store + query-side semantics.
+
+    Usable as a context manager; ``close()`` (or exit) restores the
+    session conf and unpersists serving caches.
+    """
+
+    def __enter__(self) -> "SearchEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     def __init__(
         self,
@@ -66,15 +86,24 @@ class SearchEngine:
     ):
         self.spark = spark
         self._prev_aqe: str | None = None
+        self._aqe_finalizer: weakref.finalize | None = None
         if optimize_for_queries:
             # serving fast path: query plans are exchange-free (the
             # persisted shard partitioning is reused), so AQE has
             # nothing to re-plan and its per-stage materialization only
             # adds latency. Set ONCE here — a per-query save/toggle/
             # restore races under concurrent searches and can leave the
-            # session with AQE permanently off. close() restores.
+            # session with AQE permanently off. close() restores, and a
+            # weakref finalizer restores on GC for engines abandoned
+            # without close() — otherwise one forgotten engine disables
+            # AQE (incl. skew-join mitigation) for every later batch job
+            # sharing the session.
             self._prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
             spark.conf.set("spark.sql.adaptive.enabled", "false")
+            self._aqe_finalizer = weakref.finalize(
+                self, _restore_conf, spark,
+                "spark.sql.adaptive.enabled", self._prev_aqe,
+            )
         self.ix = ix.prepare_for_queries() if optimize_for_queries else ix
         # content joined back only for the top-k (content never enters
         # the scoring plan — column pruning by construction)
@@ -101,13 +130,16 @@ class SearchEngine:
 
     def _term_info(self, terms: list[str]) -> dict[str, tuple[float, int, int]]:
         if not self._dict_complete:
+            if len(self._term_cache) > spec.DRIVER_DICT_MAX_TERMS:
+                # bound the lookup cache in the big-vocab path:
+                # arbitrary OOV query terms (cached as None) must not
+                # grow driver memory without limit. Evict BEFORE
+                # computing ``missing`` — clearing afterwards would drop
+                # already-cached terms of the current query from the
+                # fetch set and silently lose them from the result.
+                self._term_cache.clear()
             missing = [t for t in terms if t not in self._term_cache]
             if missing:
-                if len(self._term_cache) > spec.DRIVER_DICT_MAX_TERMS:
-                    # bound the lookup cache in the big-vocab path:
-                    # arbitrary OOV query terms (cached as None) must
-                    # not grow driver memory without limit
-                    self._term_cache.clear()
                 fetched = self.ix.term_info(missing)
                 for t in missing:
                     self._term_cache[t] = fetched.get(t)
@@ -170,6 +202,9 @@ class SearchEngine:
         if self._prev_aqe is not None:
             self.spark.conf.set("spark.sql.adaptive.enabled", self._prev_aqe)
             self._prev_aqe = None
+        if self._aqe_finalizer is not None:
+            self._aqe_finalizer.detach()
+            self._aqe_finalizer = None
         for df in (
             self.ix.blocks, self.ix.doc_stats, self.ix.term_stats, self._content
         ):

@@ -69,7 +69,18 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
 
     def to_epoch_ms(naive_us: int) -> int:
-        return pd.Timestamp(naive_us, unit="us").tz_localize(tz).value // 1_000_000
+        # DST safety for non-UTC session timezones: a naive wall-clock
+        # time in a fold is taken as the earlier (DST) instant, and one
+        # in a spring-forward gap shifts forward — deterministic instead
+        # of raising Ambiguous/NonExistentTimeError inside the state UDF
+        # and killing the streaming query. (session.py pins UTC, where
+        # both paths are no-ops.)
+        return (
+            pd.Timestamp(naive_us, unit="us")
+            .tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+            .value
+            // 1_000_000
+        )
 
     def wm_to_naive_us(wm_ms: int) -> int:
         return (
