@@ -13,8 +13,10 @@ Reference behavior being mirrored (files under /root/reference/):
 word split + lowercase service/MorphologyService.java:40-46; garbage
 POS filter :55-73; digits pass-through :34-35; hyphenated words kept
 whole (MorphologyServiceTest.java:71-77); 1->N normal-form expansion
-(MorphologyService.java:28-38) re-expressed as camelCase/snake_case
-identifier splitting for the code corpus (spec.py).
+(MorphologyService.java:28-38, golden MorphologyServiceTest.java:156-164
+— one word maps to MULTIPLE counted normal forms) re-expressed for the
+code corpus as camelCase/snake_case part splitting PLUS the whole
+identifier appended as its own token (spec.py pipeline step 5).
 """
 
 from __future__ import annotations
@@ -31,6 +33,8 @@ from posik_engine_spark import spec
 _C2 = re.compile(spec.CAMEL_PASS_2)
 _C1 = re.compile(spec.CAMEL_PASS_1)
 _TOK = re.compile(spec.TOKEN_RE)
+_WORD = re.compile(spec.WORD_RE)
+_MULTI = re.compile(spec.MULTI_WORD_RE)
 
 
 # ------------------------------------------------------------- python
@@ -38,19 +42,27 @@ def tokenize_py(s: str | None) -> list[str]:
     """Pure-Python reference tokenizer (the oracle's form)."""
     if not s:
         return []
-    s = _C2.sub(r"\1 \2", s)
-    s = _C1.sub(r"\1 \2", s)
-    return [t for t in _TOK.findall(s.lower()) if t not in spec.STOP_TOKENS]
+    split = _C2.sub(r"\1 \2", s)
+    split = _C1.sub(r"\1 \2", split)
+    toks = _TOK.findall(split.lower())
+    # 1->N expansion: whole form of every multi-part word, appended
+    toks += [
+        w.replace("_", "").lower() for w in _WORD.findall(s) if _MULTI.search(w)
+    ]
+    return [t for t in toks if t not in spec.STOP_TOKENS]
 
 
 # --------------------------------------------------------- pandas UDF
 def _tokenize_series(s: pd.Series) -> pd.Series:
     s = s.fillna("")
-    s = s.str.replace(spec.CAMEL_PASS_2, r"\1 \2", regex=True)
-    s = s.str.replace(spec.CAMEL_PASS_1, r"\1 \2", regex=True)
-    s = s.str.lower().str.findall(_TOK)
+    parts = s.str.replace(spec.CAMEL_PASS_2, r"\1 \2", regex=True)
+    parts = parts.str.replace(spec.CAMEL_PASS_1, r"\1 \2", regex=True)
+    parts = parts.str.lower().str.findall(_TOK)
+    wholes = s.str.findall(_WORD).map(
+        lambda ws: [w.replace("_", "").lower() for w in ws if _MULTI.search(w)]
+    )
     stop = spec.STOP_TOKENS
-    return s.map(lambda toks: [t for t in toks if t not in stop])
+    return (parts + wholes).map(lambda toks: [t for t in toks if t not in stop])
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -65,9 +77,17 @@ def tokenize_expr(col: Column | str) -> Column:
     Stays inside whole-stage codegen (no Python worker round-trip).
     """
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, spec.CAMEL_PASS_2, r"$1 $2")
-    c = F.regexp_replace(c, spec.CAMEL_PASS_1, r"$1 $2")
-    toks = F.regexp_extract_all(F.lower(c), F.lit(spec.TOKEN_RE), 0)
+    p = F.regexp_replace(c, spec.CAMEL_PASS_2, r"$1 $2")
+    p = F.regexp_replace(p, spec.CAMEL_PASS_1, r"$1 $2")
+    parts = F.regexp_extract_all(F.lower(p), F.lit(spec.TOKEN_RE), 0)
+    wholes = F.transform(
+        F.filter(
+            F.regexp_extract_all(c, F.lit(spec.WORD_RE), 0),
+            lambda w: w.rlike(spec.MULTI_WORD_RE),
+        ),
+        lambda w: F.lower(F.regexp_replace(w, "_", "")),
+    )
+    toks = F.concat(parts, wholes)
     stop = F.array(*[F.lit(t) for t in spec.STOP_TOKENS_SORTED])
     return F.filter(toks, lambda t: ~F.array_contains(stop, t))
 
@@ -80,13 +100,20 @@ def tokenize_sql_duckdb(col_sql: str) -> str:
     driver's DuckDB oracle and by tests/test_tokenizer.py.
     """
     stop_list = ", ".join(f"'{t}'" for t in spec.STOP_TOKENS_SORTED)
-    inner = (
+    parts = (
         "regexp_extract_all(lower(regexp_replace(regexp_replace("
         f"coalesce({col_sql}, ''), "
         f"'{spec.CAMEL_PASS_2}', '\\1 \\2', 'g'), "
         f"'{spec.CAMEL_PASS_1}', '\\1 \\2', 'g')), "
         f"'{spec.TOKEN_RE}')"
     )
+    wholes = (
+        f"list_transform(list_filter("
+        f"regexp_extract_all(coalesce({col_sql}, ''), '{spec.WORD_RE}'), "
+        f"w -> regexp_matches(w, '{spec.MULTI_WORD_RE}')), "
+        f"w -> lower(replace(w, '_', '')))"
+    )
     return (
-        f"list_filter({inner}, t -> t NOT IN ({stop_list}))"
+        f"list_filter(list_concat({parts}, {wholes}), "
+        f"t -> t NOT IN ({stop_list}))"
     )

@@ -77,13 +77,32 @@ SNIPPET_AFTER: int = 6
 #      token class; camelCase splits via passes 1-2 — this is the code
 #      analog of the reference's 1->N normal-form expansion,
 #      MorphologyService.java:28-38)
-#   5. drop STOP_TOKENS (reference POS-garbage filter,
+#   5. 1->N whole-identifier expansion: every word that steps 1-4 split
+#      into >=2 parts (a camel boundary or an underscore) ALSO emits its
+#      whole form — lowercased, underscores stripped — APPENDED after
+#      the part stream in order of word appearance. This is the code
+#      analog of the reference's multi-normal-form lemmatization
+#      (MorphologyService.java:28-38; golden
+#      MorphologyServiceTest.java:156-164 maps one word to TWO counted
+#      normal forms): `parseHttpRequest` indexes as parse/http/request
+#      AND parsehttprequest, so exact-identifier queries rank whole
+#      matches above part co-occurrence. snake/camel variants of one
+#      identifier share the whole form (parse_http_request ->
+#      parsehttprequest too).
+#   6. drop STOP_TOKENS (reference POS-garbage filter,
 #      MorphologyService.java:55-73 — conjunctions / prepositions /
 #      articles / particles; frozen english function-word list for the
-#      code corpus)
+#      code corpus) from the combined stream
 CAMEL_PASS_2: str = r"([A-Z]+)([A-Z][a-z])"
 CAMEL_PASS_1: str = r"([a-z0-9])([A-Z])"
 TOKEN_RE: str = r"[a-z0-9]+(?:-[a-z0-9]+)*"
+# raw word runs considered for whole-form expansion (hyphen excluded:
+# hyphenated words are already kept whole by TOKEN_RE)
+WORD_RE: str = r"[A-Za-z0-9]+(?:_[A-Za-z0-9]+)*"
+# a word is multi-part iff a camel pass would split it ([a-z0-9][A-Z]
+# covers CAMEL_PASS_1; [A-Z][A-Z][a-z] is exactly where CAMEL_PASS_2
+# fires) or it contains an underscore — partial-match semantics
+MULTI_WORD_RE: str = r"[a-z0-9][A-Z]|[A-Z][A-Z][a-z]|_"
 
 STOP_TOKENS: frozenset[str] = frozenset(
     {

@@ -33,14 +33,26 @@ GOLDENS = [
     ("line 42 value 007", ["line", "42", "value", "007"]),
     # :71-77 — hyphenated words kept whole
     ("block-max top-k pruning", ["block-max", "top-k", "pruning"]),
-    # spec §7 M0 — identifier splitting (1->N expansion analog)
-    ("parseHttpRequest", ["parse", "http", "request"]),
-    ("snake_case_name", ["snake", "case", "name"]),
-    ("HTTPServer XMLParser", ["http", "server", "xml", "parser"]),
+    # spec §7 M0 — identifier splitting + 1->N whole-form expansion
+    # (reference MorphologyService.java:28-38 emits MULTIPLE normal
+    # forms per word, each counted — MorphologyServiceTest.java:156-164)
+    ("parseHttpRequest", ["parse", "http", "request", "parsehttprequest"]),
+    ("snake_case_name", ["snake", "case", "name", "snakecasename"]),
+    (
+        "HTTPServer XMLParser",
+        ["http", "server", "xml", "parser", "httpserver", "xmlparser"],
+    ),
+    # camel and snake variants share the whole form
+    ("parse_http_request", ["parse", "http", "request", "parsehttprequest"]),
+    # single-part words do NOT double-emit
+    ("Server simple", ["server", "simple"]),
     # stop words only -> []
     ("the and of in on", []),
     # mixed code line
-    ("def parse_http(x): return x-1", ["def", "parse", "http", "x", "return", "x-1"]),
+    (
+        "def parse_http(x): return x-1",
+        ["def", "parse", "http", "x", "return", "x-1", "parsehttp"],
+    ),
 ]
 
 
