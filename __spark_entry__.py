@@ -235,10 +235,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs: 64-bit md5-vote fingerprints, 16-bit
-    pigeonhole chunk blocking, hamming <= 16. Oracle: the same bit
-    machinery written in DuckDB SQL (_sql_simhash_pairs)."""
-    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+    """SimHash near-dup pairs: 64-bit md5-vote fingerprints, Manku
+    combination blocking (6 chunks, 3-chunk combo keys — recall
+    GUARANTEED for hamming <= 3), exact hamming verify. Oracle: the
+    same fingerprint machinery in DuckDB SQL with brute-force pairing —
+    blocking-independent, valid precisely because recall is exact."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
 def q_dup_clusters(spark, sf_dir):
@@ -585,10 +587,14 @@ WHERE round({cos}, 6) >= {COSINE_TAU}
 """
 
 
-def _sql_simhash_pairs(max_hamming: int = 16) -> str:
+def _sql_simhash_pairs(max_hamming: int = 3) -> str:
     """SimHash pairs, bit-for-bit: md5 low-64 per term (big-endian hex
-    prefix), +-tf votes per bit, sign -> bit, signed-int64 wrap,
-    16-bit-chunk pigeonhole candidates, bit_count(xor) hamming."""
+    prefix), +-tf votes per bit, sign -> bit, signed-int64 wrap, then
+    BRUTE-FORCE pairing with bit_count(xor) hamming. Deliberately
+    blocking-independent: the Spark side's combination blocking has
+    guaranteed recall for hamming <= max_hamming, so its result set
+    equals the exhaustive one and the oracle need not (and should not)
+    mirror the blocking machinery."""
     return f"""
 WITH toks AS ({_sql_toks()}),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
@@ -607,19 +613,11 @@ sim AS (
                   THEN (s - 18446744073709551616::HUGEINT)::BIGINT
                   ELSE s::BIGINT END, -1) AS simhash
   FROM documents d LEFT JOIN sim0 USING (doc_id)
-),
-chunks AS (
-  SELECT doc_id, simhash, c AS chunk, (simhash >> (c * 16)) & 65535 AS v
-  FROM sim, (SELECT unnest(range(4)) AS c) cc
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
-  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.v = b.v
-  WHERE a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
-FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 

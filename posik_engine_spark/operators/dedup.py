@@ -13,9 +13,11 @@ __spark_entry__.py unless noted):
                         path: candidate generation is linear in docs x
                         bands, never quadratic.
 - simhash64 / simhash_pairs: 64-bit SimHash (Arrow-batched UDF),
-                        pigeonhole 16-bit-band blocking for hamming<=k
-                        (validated vs a pure-Python oracle in pytest
-                        AND a DuckDB SQL oracle in __spark_entry__.py).
+                        combination blocking (Manku et al., WWW'07):
+                        k+d chunks, keys = d-chunk combos, recall
+                        GUARANTEED for hamming<=k (pytest vs exhaustive
+                        oracle; DuckDB brute-force oracle in
+                        __spark_entry__.py).
 
 Portable hashing: every hash that must match the SQL oracle is md5 over
 explicit strings — minhash takes the lexicographic MIN of md5 hex
@@ -219,33 +221,106 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= k via pigeonhole
-    blocking: k<=3 guarantees at least one of 4 16-bit chunks matches
-    exactly (recall 100%); for k>3 the blocking is best-effort."""
+    """Near-dup pairs with hamming(simhash) <= max_hamming; recall is
+    GUARANTEED (== brute force) under the default blocking — see
+    simhash_pairs_from_hashes."""
     return simhash_pairs_from_hashes(simhash64(docs, text_col), max_hamming)
 
 
-def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Blocking + verification over a (doc_id, simhash) frame."""
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
-                    )
-                    for c in range(4)
-                ]
+def _chunk_layout(n_chunks: int) -> list[tuple[int, int]]:
+    """(offset, width) per chunk, distributing 64 bits as evenly as
+    possible (first 64 % n_chunks chunks get the extra bit)."""
+    base, extra = divmod(_SIMHASH_BITS, n_chunks)
+    out, off = [], 0
+    for c in range(n_chunks):
+        w = base + (1 if c < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_pairs_from_hashes(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    n_chunks: int | None = None,
+    combo_size: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Combination blocking + exact verification over a
+    (doc_id, simhash) frame (Manku et al., WWW'07 — the Google simhash
+    near-dup table design).
+
+    The 64-bit fingerprint is split into ``n_chunks`` near-equal chunks
+    (default ``max_hamming + combo_size``); each doc emits one blocking
+    key per ``combo_size``-subset of chunks (the packed chunk values).
+    k bit errors corrupt at most k chunks, so whenever
+    ``n_chunks - combo_size >= max_hamming`` some combo is error-free in
+    both docs and every true pair shares a bucket: recall == brute force
+    (pytest-verified vs an exhaustive oracle). Defaults (k=3: 6 chunks,
+    C(6,3)=20 tables, ~32-bit keys) keep buckets tiny at corpus scale —
+    unlike single 16-bit chunks, whose 65k distinct values put ~n/65k
+    docs in EVERY bucket (quadratic candidates at 1B docs).
+
+    If the caller forces ``n_chunks - combo_size < max_hamming`` the
+    blocking is best-effort (recall may be < 1) and a warning is logged.
+    ``max_bucket_size`` optionally drops over-full buckets (degenerate
+    fingerprints — e.g. empty docs hashing to -1 — or adversarial
+    skew), logging how many buckets were dropped; dropped buckets can
+    only lose candidates, never add false positives, since every
+    surviving pair is hamming-verified exactly.
+    """
+    import itertools
+    import logging
+
+    if n_chunks is None:
+        n_chunks = max_hamming + combo_size
+    if not (1 <= combo_size <= n_chunks <= _SIMHASH_BITS):
+        raise ValueError(f"bad blocking: n_chunks={n_chunks}, combo_size={combo_size}")
+    if n_chunks - combo_size < max_hamming:
+        logging.getLogger(__name__).warning(
+            "simhash blocking is best-effort: n_chunks-combo_size=%d < "
+            "max_hamming=%d; recall may be below 1.0",
+            n_chunks - combo_size, max_hamming,
+        )
+    layout = _chunk_layout(n_chunks)
+
+    def chunk_val(c: int):
+        off, w = layout[c]
+        return F.shiftright("simhash", off).bitwiseAND(F.lit((1 << w) - 1))
+
+    key_structs = []
+    for ti, combo in enumerate(itertools.combinations(range(n_chunks), combo_size)):
+        # pack the combo's chunk values into one long (sum of widths
+        # <= 64 - max_hamming bits, always fits)
+        key = F.lit(0).cast("long")
+        for c in combo:
+            key = F.shiftleft(key, layout[c][1]).bitwiseOR(chunk_val(c))
+        key_structs.append(
+            F.struct(F.lit(ti).alias("tbl"), key.alias("k"))
+        )
+    keys = sh.select(
+        "doc_id", "simhash", F.explode(F.array(*key_structs)).alias("tk")
+    ).select(
+        "doc_id", "simhash",
+        F.col("tk.tbl").alias("tbl"), F.col("tk.k").alias("k"),
+    )
+    if max_bucket_size is not None:
+        counts = keys.groupBy("tbl", "k").agg(F.count(F.lit(1)).alias("bn"))
+        n_dropped = counts.filter(F.col("bn") > max_bucket_size).count()
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "simhash blocking: dropping %d buckets larger than %d docs",
+                n_dropped, max_bucket_size,
             )
-        ).alias("cv"),
-    ).select("doc_id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.v").alias("v"))
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+        keys = (
+            keys.join(counts, ["tbl", "k"])
+            .filter(F.col("bn") <= max_bucket_size)
+            .drop("bn")
+        )
+    a = keys.alias("a")
+    b = keys.alias("b")
     cand = (
-        a.join(b, ["chunk", "v"])
+        a.join(b, ["tbl", "k"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -253,7 +328,7 @@ def simhash_pairs_from_hashes(sh: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
-        .distinct()
+        .distinct()  # 32-byte rows — cheap, unlike embedding payloads
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.withColumn("hamming", hamming).filter(
