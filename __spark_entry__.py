@@ -38,6 +38,10 @@ QTHETA_PROBE = ["spark", "window", "merge", "dup", "the", "scan"]
 JACCARD_TAU = 0.5
 COSINE_TAU = 0.25
 SHINGLE_N = 3
+# fixture-scale LSH banding for the 500-doc oracle corpus; the library
+# defaults are production-scale (dedup.DEFAULT_N_PERMS/BANDS = 128/16)
+FIXTURE_N_PERMS = 6
+FIXTURE_BANDS = 3
 
 # digit -> stop-word path segments: unique per doc_id but tokenizes to
 # NOTHING (all stop words), so the engine's path field contributes zero
@@ -231,7 +235,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), tau=JACCARD_TAU, n=SHINGLE_N)
+    """Fixture-scale LSH params (6 perms / 3 bands) passed EXPLICITLY:
+    the library defaults are production-scale (128/16, steep S-curve),
+    which at a 500-doc fixture with tau=0.4 would generate almost no
+    candidates to exercise; the oracle mirrors the same 6/3."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), tau=JACCARD_TAU, n=SHINGLE_N,
+        n_perms=FIXTURE_N_PERMS, bands=FIXTURE_BANDS,
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -488,7 +499,7 @@ WHERE round(common::DOUBLE / (sa.sz + sb.sz - common), 6) >= {JACCARD_TAU}
 
 
 def _sql_minhash_lsh() -> str:
-    P, BANDS = dedup.DEFAULT_N_PERMS, dedup.DEFAULT_BANDS
+    P, BANDS = FIXTURE_N_PERMS, FIXTURE_BANDS
     r = P // BANDS
     sig_cols = ",\n  ".join(
         f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(P)

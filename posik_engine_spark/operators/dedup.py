@@ -36,8 +36,15 @@ from pyspark.sql import types as T
 from posik_engine_spark.functions.tokenizer import tokenize_expr
 
 DEFAULT_SHINGLE_N = 3
-DEFAULT_N_PERMS = 6
-DEFAULT_BANDS = 3  # rows per band = n_perms // bands
+# Production LSH defaults: 128 permutations in 16 bands of r=8 rows.
+# P(candidate | jaccard j) = 1-(1-j^8)^16 — steep S-curve centered near
+# j ~ 0.7: at corpus scale (1B+ docs) candidate volume stays linear.
+# The round-1 fixture values (6 perms / 3 bands, r=2) made nearly every
+# mildly-similar pair a candidate — fine for a 500-doc oracle fixture
+# (which now passes them explicitly in __spark_entry__.py), ruinous at
+# scale. Callers tune (n_perms, bands) to move the threshold.
+DEFAULT_N_PERMS = 128
+DEFAULT_BANDS = 16  # rows per band = n_perms // bands
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -68,10 +75,40 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = DEFAULT_SHING
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, tau: float, text_col: str = "text", n: int = DEFAULT_SHINGLE_N
+    docs: DataFrame,
+    tau: float,
+    text_col: str = "text",
+    n: int = DEFAULT_SHINGLE_N,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard >= tau pairs via inverted shingle join."""
+    """Exact Jaccard >= tau pairs via inverted shingle join.
+
+    Scale guard: the join fans out quadratically on each shingle's
+    document frequency — one boilerplate 3-gram shared by 1M docs
+    would create 10^12 intermediate rows. ``max_shingle_df`` drops
+    shingles with df > threshold from the shingle UNIVERSE (both the
+    intersection counts and the set sizes), i.e. Jaccard is computed
+    over the filtered vocabulary — the standard df-cap semantics; it
+    only perturbs scores via near-universal shingles, which carry no
+    dedup signal. The number of dropped shingles is logged. Without a
+    cap this operator is the exact baseline; route corpus-scale runs to
+    minhash_lsh_pairs or set the cap.
+    """
     sh = doc_shingles(docs, text_col, n)
+    if max_shingle_df is not None:
+        import logging
+
+        dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        hot = dfs.filter(F.col("df") > max_shingle_df)
+        n_hot = hot.count()
+        if n_hot:
+            logging.getLogger(__name__).warning(
+                "ngram_jaccard_pairs: dropping %d shingles with df > %d "
+                "from the shingle universe", n_hot, max_shingle_df,
+            )
+        # broadcast-able in practice (hot shingles are few); left_anti
+        # keeps the inverted join linear in the surviving postings
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

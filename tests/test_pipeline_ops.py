@@ -133,15 +133,50 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, neardup_docs):
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in dedup.ngram_jaccard_pairs(neardup_docs, tau=tau).collect()
     }
+    # fixture-scale banding (loose S-curve) so candidates actually flow
+    # on a 16-doc corpus; production defaults are 128/16
     lsh = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in dedup.minhash_lsh_pairs(neardup_docs, tau=tau).collect()
+        for r in dedup.minhash_lsh_pairs(
+            neardup_docs, tau=tau, n_perms=6, bands=3
+        ).collect()
     }
     # LSH verifies exactly -> every reported pair is a true pair with the
     # exact same jaccard; candidate generation may only lose pairs
     for k, v in lsh.items():
         assert exact[k] == v
     assert set(lsh) <= set(exact)
+
+
+def test_production_minhash_defaults():
+    """Guard the production S-curve: 128 perms / 16 bands (r=8) — the
+    round-1 fixture defaults (6/3, r=2) explode candidates at scale."""
+    assert dedup.DEFAULT_N_PERMS == 128
+    assert dedup.DEFAULT_BANDS == 16
+    assert dedup.DEFAULT_N_PERMS % dedup.DEFAULT_BANDS == 0
+
+
+def test_jaccard_hot_shingle_cap(spark, caplog):
+    """max_shingle_df removes near-universal shingles from the shingle
+    universe: pairs whose only overlap was boilerplate disappear, and
+    the drop is logged."""
+    import logging
+
+    # every doc shares exactly one boilerplate trigram; tails unique
+    rows = [
+        (i, f"license header apache unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(docs, tau=0.1).collect()
+    # each pair: 1 common shingle, 5 shingles/doc -> j = 1/9 >= 0.1
+    assert len(uncapped) == 15
+    with caplog.at_level(logging.WARNING, logger="posik_engine_spark.operators.dedup"):
+        capped = dedup.ngram_jaccard_pairs(
+            docs, tau=0.1, max_shingle_df=3
+        ).collect()
+    assert capped == []
+    assert any("dropping 1 shingles" in m for m in caplog.messages)
 
 
 def test_hyperplane_lsh_subset_of_exact_cosine(spark):
