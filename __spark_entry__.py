@@ -225,6 +225,18 @@ def q_lang_id(spark, sf_dir):
     return textops.lang_id(_docs(spark, sf_dir))
 
 
+def q_admitted_docs(spark, sf_dir):
+    """Build-side admission filter (SURVEY.md §2 B4, reference
+    CrawlerService.java:72,80-83): docs surviving the frozen default
+    thresholds (min/max chars, punct/digit ratio). The same predicate
+    gates prepare_docs(admission=...) and the job CLI --admit."""
+    out = textops.admit_docs(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_chars"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     out = dedup.exact_dedup(_docs(spark, sf_dir))
     return out.select("sha", F.col("n_docs").cast("long").alias("n_docs"), "keeper")
@@ -372,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
+        "admitted_docs": q_admitted_docs,
         "dedup_exact": q_dedup_exact,
         "dup_clusters": q_dup_clusters,
         "stratified_sample": q_stratified_sample,
@@ -442,6 +455,30 @@ SELECT doc_id,
         THEN length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
         ELSE 0.0 END, 6) AS digit_ratio
 FROM documents
+"""
+
+
+def _sql_admitted_docs() -> str:
+    """Mirror of textops.admission_predicate with the frozen defaults;
+    ratios rounded to 6 before comparison, exactly like the Spark side."""
+    t = "coalesce(text, '')"
+    punct = (
+        f"round(CASE WHEN length({t}) > 0 THEN "
+        f"length(regexp_replace(lower({t}), '{textops.PUNCT_STRIP_RE}', '', 'g'))::DOUBLE"
+        f" / length({t}) ELSE 0.0 END, 6)"
+    )
+    digit = (
+        f"round(CASE WHEN length({t}) > 0 THEN "
+        f"length(regexp_replace({t}, '[^0-9]', '', 'g'))::DOUBLE"
+        f" / length({t}) ELSE 0.0 END, 6)"
+    )
+    return f"""
+SELECT doc_id, length({t})::BIGINT AS n_chars
+FROM documents
+WHERE length({t}) >= {textops.DEFAULT_MIN_CHARS}
+  AND length({t}) <= {textops.DEFAULT_MAX_CHARS}
+  AND {punct} <= {textops.DEFAULT_MAX_PUNCT_RATIO}
+  AND {digit} <= {textops.DEFAULT_MAX_DIGIT_RATIO}
 """
 
 
@@ -731,6 +768,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "text_quality": _sql_quality(),
+        "admitted_docs": _sql_admitted_docs(),
         "lang_id": _sql_lang_id(),
         "dedup_exact": """
             SELECT sha256(text) AS sha, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper

@@ -17,6 +17,12 @@ Flags:
     --filter        SQL predicate on the source (the single-doc reindex
                     entry point, SURVEY.md §3.3: e.g.
                     "repo='r' AND path='p'" with --incremental)
+    --admit         apply the build-side admission filter (SURVEY.md §2
+                    B4; reference CrawlerService.java:72,80-83 drops
+                    non-text / non-2xx pages): rejects empty, oversized,
+                    and not-really-text docs before tokenization.
+                    Thresholds: --min-chars --max-chars
+                    --max-punct-ratio --max-digit-ratio
 """
 
 from __future__ import annotations
@@ -58,6 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--block-size", type=int, default=None)
     p.add_argument("--incremental", action="store_true")
     p.add_argument("--filter", default=None)
+    p.add_argument("--admit", action="store_true")
+    p.add_argument("--min-chars", type=int, default=None)
+    p.add_argument("--max-chars", type=int, default=None)
+    p.add_argument("--max-punct-ratio", type=float, default=None)
+    p.add_argument("--max-digit-ratio", type=float, default=None)
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("posik-build-index").getOrCreate()
@@ -68,6 +79,20 @@ def main(argv: list[str] | None = None) -> int:
     docs = read_docs(spark, args.source)
     if args.filter:
         docs = docs.filter(args.filter)
+    if args.admit:
+        from posik_engine_spark.operators import textops
+
+        thresholds = {
+            k: v
+            for k, v in {
+                "min_chars": args.min_chars,
+                "max_chars": args.max_chars,
+                "max_punct_ratio": args.max_punct_ratio,
+                "max_digit_ratio": args.max_digit_ratio,
+            }.items()
+            if v is not None
+        }
+        docs = textops.admit_docs(docs, text_col="content", **thresholds)
 
     kw = {}
     if args.block_size:

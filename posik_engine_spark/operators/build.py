@@ -66,6 +66,7 @@ def prepare_docs(
     n_shards: int = spec.DEFAULT_N_SHARDS,
     use_pandas_udf: bool = True,
     with_token_arrays: bool = False,
+    admission: dict | None = None,
 ) -> DataFrame:
     """Dedup + identity + tokenize-and-count.
 
@@ -93,7 +94,17 @@ def prepare_docs(
     A duplicate (repo, path, commit) row costs one redundant map-side
     tokenize instead of shipping the whole corpus through an exchange —
     at 100 TB that trade is ~0.1% wasted CPU vs a corpus-sized shuffle.
+
+    ``admission`` (dict of textops.admission_predicate thresholds, {}
+    for defaults) gates docs BEFORE tokenization — the build-side page
+    admission filter (SURVEY.md §2 B4; reference
+    CrawlerService.java:72,80-83 refuses non-text / non-2xx pages):
+    rejected docs never pay the tokenize UDF. None = admit everything.
     """
+    if admission is not None:
+        from posik_engine_spark.operators.textops import admit_docs
+
+        docs = admit_docs(docs, text_col="content", **admission)
     out = (
         docs.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
         .withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))

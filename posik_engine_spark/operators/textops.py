@@ -85,6 +85,58 @@ def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ---------------------------------------------- admission filter (B4)
+# Reference behavior: the crawler refuses pages before they reach the
+# index — non-2xx/3xx responses and non-text content types
+# (/root/reference/.../service/crawler/CrawlerService.java:72,80-83).
+# Code-corpus analog: reject empty/oversized docs and docs whose
+# punctuation/digit ratios say "not really text" (minified blobs,
+# binary-as-text, generated data dumps) before tokenization pays for
+# them. Pure Catalyst; thresholds are frozen defaults so the DuckDB
+# oracle (__spark_entry__.py admitted_docs) can mirror them exactly.
+DEFAULT_MIN_CHARS = 10
+DEFAULT_MAX_CHARS = 10_000_000
+DEFAULT_MAX_PUNCT_RATIO = 0.5
+DEFAULT_MAX_DIGIT_RATIO = 0.9
+
+
+def admission_predicate(
+    text_col: str = "text",
+    min_chars: int = DEFAULT_MIN_CHARS,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    max_punct_ratio: float = DEFAULT_MAX_PUNCT_RATIO,
+    max_digit_ratio: float = DEFAULT_MAX_DIGIT_RATIO,
+) -> Column:
+    """Boolean admission column. Null text counts as empty (rejected by
+    min_chars, like the reference dropping body-less responses). Ratios
+    are rounded to 6 places BEFORE comparison so the boundary decision
+    is bit-identical between Spark and the SQL oracle."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(c)
+    n_punct = F.length(F.regexp_replace(F.lower(c), PUNCT_STRIP_RE, ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    punct_ratio = F.round(
+        F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)), 6
+    )
+    digit_ratio = F.round(
+        F.when(n_chars > 0, n_digit.cast("double") / n_chars).otherwise(F.lit(0.0)), 6
+    )
+    return (
+        (n_chars >= min_chars)
+        & (n_chars <= max_chars)
+        & (punct_ratio <= max_punct_ratio)
+        & (digit_ratio <= max_digit_ratio)
+    )
+
+
+def admit_docs(docs: DataFrame, text_col: str = "text", **thresholds) -> DataFrame:
+    """Filter to admitted docs only (schema unchanged). The predicate
+    sits directly over the scan, so Catalyst pushes the length bounds
+    into the parquet read where stats allow and prunes rejected docs
+    before the tokenizer UDF ever sees them."""
+    return docs.filter(admission_predicate(text_col, **thresholds))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Predict language as argmax of function-word hits; ties and
     zero-hit docs -> 'und'. Tie-break: language code ascending (the

@@ -148,6 +148,31 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, neardup_docs):
     assert set(lsh) <= set(exact)
 
 
+def test_admission_filter(spark):
+    """B4 admission gate: drops null/short/oversized/not-really-text
+    docs; admits normal prose/code. Wired through prepare_docs too."""
+    from posik_engine_spark.operators import build, textops
+
+    rows = [
+        (0, "def parse_http(x): return x - 1  # a normal code line"),
+        (1, None),                       # null -> empty -> rejected
+        (2, "tiny"),                     # < min_chars
+        (3, "!!!@@@###$$$%%%^^^&&&***"), # punct-heavy
+        (4, "123456789012345678901234567890"),  # digit-heavy
+        (5, "plain readable text with enough characters to pass"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in textops.admit_docs(docs).collect())
+    assert got == [0, 5]
+
+    src = spark.createDataFrame(
+        [("r", f"p{i}", "c", "py", t) for i, t in rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    prepared = build.prepare_docs(src, n_shards=2, admission={})
+    assert prepared.count() == 2
+
+
 def test_production_minhash_defaults():
     """Guard the production S-curve: 128 perms / 16 bands (r=8) — the
     round-1 fixture defaults (6/3, r=2) explode candidates at scale."""
