@@ -90,6 +90,35 @@ def read_lineage(out_dir: str) -> list[dict]:
     return out
 
 
+def is_indexing(out_dir: str) -> bool:
+    """True iff the index dir has a build in flight: a started-but-
+    incomplete staged build (some markers committed, not all) or a
+    pending incremental commit intent. The Spark-native analog of the
+    reference's per-site INDEXING status that statistics() surfaces
+    (/root/reference/.../service/StatisticsService.java:25,
+    repositories/SiteRepository.java:8-9). A dir written by save_index
+    (no build plan) is by definition not indexing."""
+    if os.path.exists(os.path.join(out_dir, "_incremental_intent.json")):
+        return True
+    plan_path = os.path.join(out_dir, "_build_plan.json")
+    if not os.path.exists(plan_path):
+        return False
+    started = os.path.isdir(os.path.join(out_dir, "_markers"))
+    if not started:
+        return False
+    with open(plan_path) as f:
+        plan = json.load(f)
+    complete = (
+        _done(out_dir, "prepare")
+        and _done(out_dir, "stats")
+        and all(
+            _done(out_dir, f"blocks_batch_{i:04d}")
+            for i in range(plan["n_batches"])
+        )
+    )
+    return not complete
+
+
 class _Stage:
     """Context manager: lineage record per attempt, marker on success."""
 
@@ -167,6 +196,19 @@ class IndexBuilder:
         else:
             with open(vpath, "w") as f:
                 f.write(str(INDEX_FORMAT_VERSION))
+        # record the build plan so OTHER processes (a serving engine's
+        # statistics(), SURVEY.md §2 A3) can tell an in-flight /
+        # crashed-partial build from a complete one without knowing the
+        # builder's constructor args
+        with open(os.path.join(out_dir, "_build_plan.json"), "w") as f:
+            json.dump(
+                {
+                    "n_shards": n_shards,
+                    "shard_batches": shard_batches,
+                    "n_batches": len(_shard_batches(n_shards, shard_batches)),
+                },
+                f,
+            )
 
     # ------------------------------------------------------------ paths
     @property
@@ -337,6 +379,10 @@ class IndexBuilder:
                 st.counters["blocks_merged"] = int(blk_obs.get["blocks"])
             if fail_after_batch is not None and i >= fail_after_batch:
                 raise BuildAborted(f"injected failure after batch {i}")
+
+    def is_indexing(self) -> bool:
+        """Module-level is_indexing over this builder's dir."""
+        return is_indexing(self.out_dir)
 
     def is_complete(self) -> bool:
         """True iff every build stage (prepare, stats, ALL block

@@ -83,8 +83,12 @@ class SearchEngine:
         ix: Index,
         docs: DataFrame,
         optimize_for_queries: bool = True,
+        index_dir: str | None = None,
     ):
         self.spark = spark
+        # builder dir backing this engine (if any): statistics() consults
+        # its markers/lineage for the live isIndexing flag (A3)
+        self._index_dir = index_dir
         self._prev_aqe: str | None = None
         self._aqe_finalizer: weakref.finalize | None = None
         if optimize_for_queries:
@@ -161,7 +165,7 @@ class SearchEngine:
         save_index dir); ``docs`` is the content store for snippets."""
         from posik_engine_spark.operators.index import load_index
 
-        return cls(spark, load_index(spark, index_dir), docs)
+        return cls(spark, load_index(spark, index_dir), docs, index_dir=index_dir)
 
     # ---------------------------------------------------------- Q2/Q3
     def filter_query_terms(self, raw_terms: list[str]) -> list[str]:
@@ -306,19 +310,32 @@ class SearchEngine:
     # ------------------------------------------------------- A1-A4
     def statistics(self) -> dict:
         """Analog of GET /api/statistics
-        (/root/reference/.../service/StatisticsService.java:23-42)."""
+        (/root/reference/.../service/StatisticsService.java:23-42).
+
+        isIndexing is LIVE when the engine serves a builder dir: it
+        re-reads the builder's markers/intent on every call (reference
+        semantics — StatisticsService consults the site status table,
+        StatisticsService.java:25), so a concurrent build/incremental
+        against the same dir flips it. In-memory engines (from_docs)
+        have no builder state and report False."""
         per_repo = (
             self.ix.doc_stats.groupBy("repo")
             .count()
             .orderBy("repo")
             .collect()
         )
+        from posik_engine_spark.operators.lifecycle import is_indexing
+
         return {
             "total": {
                 "sites": len(per_repo),
                 "pages": self.ix.meta.n_docs,
                 "lemmas": self.ix.term_stats.count(),
-                "isIndexing": False,
+                "isIndexing": (
+                    is_indexing(self._index_dir)
+                    if self._index_dir is not None
+                    else False
+                ),
             },
             "detailed": [{"url": r["repo"], "pages": r["count"]} for r in per_repo],
         }

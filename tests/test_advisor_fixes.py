@@ -70,6 +70,34 @@ def test_aqe_restored_by_finalizer_and_context_manager(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == prev
 
 
+def test_statistics_is_indexing_live(spark, tmp_path):
+    """A3: statistics() derives isIndexing from builder markers/intent —
+    True while a build is in flight (crash-partial via fail_after_batch),
+    False once the resumed build completes."""
+    docs = corpus.synthetic_docs(spark, 40, seed=13).cache()
+    out = str(tmp_path / "ix")
+    b = lifecycle.IndexBuilder(spark, out, n_shards=4, shard_batches=3)
+    with pytest.raises(lifecycle.BuildAborted):
+        b.build(docs, fail_after_batch=0)
+    assert b.is_indexing() and lifecycle.is_indexing(out)
+
+    # a serving engine over the partial dir reports the live state
+    eng = SearchEngine.from_index_dir(spark, out, docs)
+    try:
+        assert eng.statistics()["total"]["isIndexing"] is True
+        # resume to completion in-place; the SAME engine re-reads the
+        # builder state on the next statistics() call
+        b.build(docs)
+        assert not lifecycle.is_indexing(out)
+        assert eng.statistics()["total"]["isIndexing"] is False
+    finally:
+        eng.close()
+
+    # from_docs engines have no builder dir -> always False
+    with SearchEngine.from_docs(spark, docs, n_shards=2) as mem_eng:
+        assert mem_eng.statistics()["total"]["isIndexing"] is False
+
+
 def test_load_refuses_or_replays_pending_incremental_intent(spark, tmp_path):
     docs_v1 = corpus.synthetic_docs(spark, 40, seed=11).cache()
     snap_v2 = docs_v1.withColumn(
