@@ -111,3 +111,48 @@ def test_incremental_index_sink(spark, tmp_path):
     )
     assert got == expect
     assert ix_stream.meta == full.meta
+
+
+def test_incremental_sink_log_compaction(spark, tmp_path):
+    """>10 micro-batches through the sink: _docs_log must be compacted
+    (file count bounded, not one file-set per batch) and the final index
+    must still equal a clean full rebuild."""
+    import glob
+
+    from pyspark.sql import functions as F2
+
+    all_docs = corpus.synthetic_docs(spark, 60, seed=41).cache()
+    in_dir = str(tmp_path / "arrivals")
+    n_batches = 12
+    # one parquet file per slice -> maxFilesPerTrigger=1 gives one
+    # micro-batch per slice
+    for i in range(n_batches):
+        all_docs.filter(
+            F2.pmod(F2.xxhash64("path"), F2.lit(n_batches)) == i
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    builder = IndexBuilder(spark, str(tmp_path / "ix"), n_shards=4)
+    stream = ingest.stream_docs(spark, in_dir, max_files_per_trigger=1)
+    q = ingest.incremental_index_sink(
+        stream, builder, checkpoint_dir=str(tmp_path / "ckpt4"), compact_every=5
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(600)
+
+    log_files = glob.glob(str(tmp_path / "ix" / "_docs_log" / "*.parquet"))
+    # 12 appends without compaction -> >= 12 file-sets; with
+    # compact_every=5 the last rewrite leaves n_shards files plus at
+    # most (compact_every - 1) appended batch file-sets
+    assert len(log_files) <= 4 + 4 * 2, sorted(log_files)
+    # log content survives compaction: deduped union == full corpus
+    log = spark.read.parquet(str(tmp_path / "ix" / "_docs_log"))
+    assert log.dropDuplicates(["repo", "path", "commit"]).count() == all_docs.count()
+
+    ix_stream = builder.load()
+    full = IndexBuilder(spark, str(tmp_path / "ix_full"), n_shards=4).build(all_docs)
+    got = sorted(
+        map(tuple, ix_stream.blocks.select("term", "shard", "block_id", "n_docs").collect())
+    )
+    expect = sorted(
+        map(tuple, full.blocks.select("term", "shard", "block_id", "n_docs").collect())
+    )
+    assert got == expect
