@@ -84,11 +84,18 @@ class SearchEngine:
         docs: DataFrame,
         optimize_for_queries: bool = True,
         index_dir: str | None = None,
+        content_store=None,
     ):
         self.spark = spark
         # builder dir backing this engine (if any): statistics() consults
         # its markers/lineage for the live isIndexing flag (A3)
         self._index_dir = index_dir
+        # optional bucketed+sorted on-disk store: top-k content fetches
+        # become partition+row-group-pruned point lookups instead of a
+        # scan over the persisted corpus (operators/content_store.py) —
+        # the 100 TB serving path. None keeps the in-memory persisted
+        # ``docs`` scan (right for small/ephemeral corpora).
+        self._store = content_store
         self._prev_aqe: str | None = None
         self._aqe_finalizer: weakref.finalize | None = None
         if optimize_for_queries:
@@ -111,12 +118,16 @@ class SearchEngine:
         self.ix = ix.prepare_for_queries() if optimize_for_queries else ix
         # content joined back only for the top-k (content never enters
         # the scoring plan — column pruning by construction)
-        self._content = docs.select(
-            F.xxhash64("repo", "path", "commit").alias("doc_id"),
-            "repo", "path", "content",
-        )
-        if optimize_for_queries:
-            self._content = self._content.persist()
+        self._content = None
+        if self._store is None:
+            if docs is None:
+                raise ValueError("need a docs DataFrame or a content_store")
+            self._content = docs.select(
+                F.xxhash64("repo", "path", "commit").alias("doc_id"),
+                "repo", "path", "content",
+            )
+            if optimize_for_queries:
+                self._content = self._content.persist()
         # driver-side memo of term stats: (idf, df, ctf) or None for
         # out-of-vocabulary terms. Small vocabularies load wholesale at
         # init (spec.DRIVER_DICT_MAX_TERMS — the Lucene in-heap
@@ -159,13 +170,29 @@ class SearchEngine:
 
     @classmethod
     def from_index_dir(
-        cls, spark: SparkSession, index_dir: str, docs: DataFrame
+        cls,
+        spark: SparkSession,
+        index_dir: str,
+        docs: DataFrame | None = None,
+        content_dir: str | None = None,
     ) -> "SearchEngine":
         """Serve from an on-disk index (IndexBuilder output or
-        save_index dir); ``docs`` is the content store for snippets."""
+        save_index dir). Snippet content comes from ``content_dir`` (a
+        save_content_store dir — pruned point lookups, the scale path)
+        or from ``docs`` (persisted corpus scan); pass exactly one."""
         from posik_engine_spark.operators.index import load_index
 
-        return cls(spark, load_index(spark, index_dir), docs, index_dir=index_dir)
+        if (docs is None) == (content_dir is None):
+            raise ValueError("pass exactly one of docs / content_dir")
+        store = None
+        if content_dir is not None:
+            from posik_engine_spark.operators.content_store import ContentStore
+
+            store = ContentStore(spark, content_dir)
+        return cls(
+            spark, load_index(spark, index_dir), docs,
+            index_dir=index_dir, content_store=store,
+        )
 
     # ---------------------------------------------------------- Q2/Q3
     def filter_query_terms(self, raw_terms: list[str]) -> list[str]:
@@ -212,6 +239,8 @@ class SearchEngine:
         for df in (
             self.ix.blocks, self.ix.doc_stats, self.ix.term_stats, self._content
         ):
+            if df is None:
+                continue
             try:
                 df.unpersist()
             except Exception:
@@ -283,11 +312,16 @@ class SearchEngine:
         if not window:
             return []
         ids = [r["doc_id"] for r in window]
-        # k rows: broadcast-join the id list against the content store
-        content_rows = {
-            r["doc_id"]: r
-            for r in self._content.filter(F.col("doc_id").isin(ids)).collect()
-        }
+        if self._store is not None:
+            # pruned point lookup: bucket partition pruning + doc_id
+            # row-group min/max pruning (content_store.py)
+            content_rows = self._store.fetch(ids)
+        else:
+            # k rows: id-list filter against the persisted corpus scan
+            content_rows = {
+                r["doc_id"]: r
+                for r in self._content.filter(F.col("doc_id").isin(ids)).collect()
+            }
         # normalization quirk kept (SURVEY.md §8.6): divide by the max of
         # the RETURNED window, so page 2's top row also shows 1.0
         max_rel = window[0]["score"]

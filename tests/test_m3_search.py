@@ -105,3 +105,24 @@ def test_statistics(engine_state):
     assert st["total"]["sites"] == len(set(oracle_ix.doc_repo.values()))
     names = [d["url"] for d in st["detailed"]]
     assert names == sorted(names)
+
+
+def test_search_with_content_store_matches_docs_path(spark, tmp_path):
+    """Serving snippets from the bucketed+sorted content store must be
+    result-identical to the persisted-docs scan path."""
+    from posik_engine_spark.operators import content_store as cs
+    from posik_engine_spark.operators.index import build_index, save_index
+
+    docs = corpus.synthetic_docs(spark, 120, seed=77).cache()
+    ix_dir = str(tmp_path / "ix")
+    save_index(build_index(docs, n_shards=4, cache=False), ix_dir)
+    c_dir = str(tmp_path / "content")
+    cs.save_content_store(docs, c_dir, n_buckets=8)
+
+    with SearchEngine.from_index_dir(spark, ix_dir, docs=docs) as e_docs, \
+         SearchEngine.from_index_dir(spark, ix_dir, content_dir=c_dir) as e_store:
+        for q in ("varint merge", "spark window", "varint"):
+            a = e_docs.search(q)
+            b = e_store.search(q)
+            assert a.hits == b.hits
+            assert a.surviving_terms == b.surviving_terms

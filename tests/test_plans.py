@@ -156,6 +156,33 @@ def test_lsh_candidate_shuffles_carry_no_vectors(spark):
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
+def test_content_store_point_lookup_prunes(spark, tmp_path_factory):
+    """Snippet content fetches must prune: bucket partition filter +
+    doc_id pushed filter (row-group min/max over doc_id-sorted files) —
+    O(k row groups) per query, independent of corpus size."""
+    from posik_engine_spark.operators import content_store as cs
+
+    docs = corpus.synthetic_docs(spark, 100, seed=17)
+    path = str(tmp_path_factory.mktemp("cstore")) + "/content"
+    cs.save_content_store(docs, path, n_buckets=8)
+    store = cs.ContentStore(spark, path)
+    ids = [
+        r["doc_id"]
+        for r in docs.select(
+            F.xxhash64("repo", "path", "commit").alias("doc_id")
+        ).limit(3).collect()
+    ]
+    plan = _plan(store.lookup_plan(ids))
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan, plan
+    assert "PartitionFilters: [" in plan and "bucket" in plan.split(
+        "PartitionFilters:"
+    )[1].split("]")[0], plan
+    assert "In(doc_id" in plan.split("PushedFilters:")[1], plan
+    got = store.fetch(ids)
+    assert sorted(got) == sorted(ids)
+
+
 def test_broadcast_used_for_small_dims(spark):
     """Catalyst must broadcast the small side of doc-scoped joins."""
     big = spark.range(0, 100000).select(F.col("id").alias("doc_id"))
