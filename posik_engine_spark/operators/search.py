@@ -21,7 +21,7 @@ from posik_engine_spark import spec
 from posik_engine_spark.functions.snippet import build_snippet, title_for_path
 from posik_engine_spark.functions.tokenizer import tokenize_py
 from posik_engine_spark.operators.index import Index, build_index
-from posik_engine_spark.operators.wand import wand_topk
+from posik_engine_spark.operators.wand import wand_topk, wand_topk_driver
 from posik_engine_spark.oracle import SearchError
 
 RESULT_SCHEMA = (
@@ -223,6 +223,12 @@ class SearchEngine:
             return []  # unknown term -> empty AND result
         idfs = {t: v[0] for t, v in info.items()}
         dfs = {t: v[1] for t, v in info.items()}
+        # serving hybrid (spec.DRIVER_WAND_MAX_POSTINGS): small posting
+        # volumes score locally on the collected blocks — identical
+        # results (same shard_topk kernel + merge order), one Spark scan
+        # instead of a grouped-map round trip; fat queries distribute.
+        if sum(dfs.values()) <= spec.DRIVER_WAND_MAX_POSTINGS:
+            return wand_topk_driver(self.ix, idfs, dfs, k, repos=repos)
         return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
 
     def close(self) -> None:

@@ -191,6 +191,77 @@ def shard_topk(
     return pd.DataFrame({"doc_id": cand[idx][sel], "score": val[sel]})
 
 
+def wand_topk_driver(
+    ix: Index,
+    term_idfs: dict[str, float],
+    term_dfs: dict[str, int],
+    k: int,
+    repos: list[str] | None = None,
+) -> list:
+    """Driver-local top-k over the query terms' collected blocks —
+    result-identical to wand_topk (same shard_topk kernel per shard,
+    same merge order), minus the grouped-map round trip.
+
+    The Lucene-style serving hybrid: an interactive query touches only
+    its terms' posting blocks (sum(df) postings, delta+varint — a few
+    MB even for millions of postings), so the engine COLLECTS those
+    blocks with one pruned scan and scores them locally; the
+    distributed path exists for queries whose posting volume exceeds
+    spec.DRIVER_WAND_MAX_POSTINGS. On a multi-executor cluster 'driver'
+    is the serving coordinator — the same place the per-shard top-k
+    heaps merge in the distributed path anyway.
+
+    Repo-scoped queries collect doc_stats pre-filtered to the scoped
+    repos: shard_topk's membership test (candidate present AND repo in
+    scope) collapses to presence in the filtered frame, so the result
+    is unchanged while the collect stays proportional to the scoped
+    corpus slice.
+    """
+    terms = sorted(term_idfs, key=lambda t: (term_dfs.get(t, 0), t))
+    if not terms:
+        raise ValueError("wand_topk_driver: empty term list")
+    avgdl = ix.meta.avgdl
+    idfs = dict(term_idfs)
+    rows = ix.blocks.filter(F.col("term").isin(terms)).collect()
+    if not rows:
+        return []
+    bpdf = pd.DataFrame([r.asDict() for r in rows])
+    stats_by_shard: dict[int, pd.DataFrame] = {}
+    if repos is not None:
+        srows = (
+            ix.doc_stats.filter(F.col("repo").isin(list(repos)))
+            .select("shard", "doc_id", "repo")
+            .collect()
+        )
+        sdf = pd.DataFrame(
+            [r.asDict() for r in srows], columns=["shard", "doc_id", "repo"]
+        )
+        stats_by_shard = {s: g for s, g in sdf.groupby("shard")} if len(sdf) else {}
+    parts = []
+    for shard, pdf in bpdf.groupby("shard", sort=False):
+        if repos is not None:
+            spdf = stats_by_shard.get(shard)
+            if spdf is None:
+                continue  # scoped repos have no docs in this shard
+        else:
+            spdf = None
+        parts.append(shard_topk(pdf, spdf, terms, idfs, avgdl, k, repos=repos))
+    if not parts:
+        return []
+    merged = pd.concat(parts, ignore_index=True)
+    if merged.empty:
+        return []
+    merged = merged.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    from pyspark.sql import Row
+
+    return [
+        Row(doc_id=int(d), score=float(s))
+        for d, s in zip(merged["doc_id"], merged["score"])
+    ]
+
+
 def wand_topk(
     ix: Index,
     term_idfs: dict[str, float],

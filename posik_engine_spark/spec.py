@@ -56,6 +56,12 @@ DEFAULT_OFFSET: int = 0
 # stays distributed and queries probe it with an isin() filter — the
 # only path possible at 10^12-file vocabulary scale.
 DRIVER_DICT_MAX_TERMS: int = 1_000_000
+# Serving hybrid: queries whose total posting volume (sum of term dfs)
+# is at most this run block-max WAND driver-side over the collected
+# compressed blocks (one pruned scan, no grouped-map round trip —
+# interactive p50 path); fatter queries scatter per-shard tasks. At
+# ~2-4 varint bytes/posting this bounds the collect at a few MB.
+DRIVER_WAND_MAX_POSTINGS: int = 2_000_000
 # Snippet window in words (reference SnippetBuilder.java:40-41).
 SNIPPET_BEFORE: int = 12
 SNIPPET_AFTER: int = 6

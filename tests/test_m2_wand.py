@@ -49,12 +49,17 @@ def test_wand_equals_oracle_and_dataframe(ix_state, terms, k):
         (r["doc_id"], r["score"])
         for r in wand.wand_topk(ix, idfs, dfs, k).collect()
     ]
+    got_driver = [
+        (r["doc_id"], r["score"])
+        for r in wand.wand_topk_driver(ix, idfs, dfs, k)
+    ]
     got_df = [
         (r["doc_id"], r["score"])
         for r in score.topk(score.score_terms(tf, idfs, ix.meta.avgdl), limit=k).collect()
     ]
     expect = oracle_topk(oracle_ix, terms, limit=k)
     assert got_wand == expect, "WAND path diverges from oracle"
+    assert got_driver == expect, "driver-local WAND diverges from oracle"
     assert got_df == expect, "DataFrame path diverges from oracle"
 
 
@@ -68,8 +73,13 @@ def test_repo_scoped_wand(ix_state):
         (r["doc_id"], r["score"])
         for r in wand.wand_topk(ix, idfs, dfs, 20, repos=["repo-00"]).collect()
     ]
+    got_driver = [
+        (r["doc_id"], r["score"])
+        for r in wand.wand_topk_driver(ix, idfs, dfs, 20, repos=["repo-00"])
+    ]
     expect = oracle_topk(oracle_ix, terms, limit=20, repos=["repo-00"])
     assert got == expect
+    assert got_driver == expect
 
 
 def test_blocks_respect_block_size(ix_state):
