@@ -1,0 +1,73 @@
+"""HTML field extraction goldens — jsoup-selector parity incl. the
+h1-removed-from-body quirk (reference LemmaUtils.java:18-48)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from posik_engine_spark.functions import html as H
+
+DOC = """<!DOCTYPE html>
+<html><head>
+  <title> My &amp; Your   Page </title>
+  <style>body { color: red; }</style>
+  <script>var x = "<h1>not a heading</h1>";</script>
+</head>
+<body class="main">
+  <!-- a comment with <h1>ghost</h1> -->
+  <h1 id="top">First Heading</h1>
+  <p>Body text &lt;one&gt; here.</p>
+  <h1>Second Heading</h1>
+  <div>More <b>body</b> words</div>
+</body></html>"""
+
+
+def _one(spark, expr):
+    df = spark.createDataFrame([(DOC,)], "html string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_title(spark):
+    assert _one(spark, H.html_title(F.col("html"))) == "My & Your Page"
+
+
+def test_h1_concatenates_all(spark):
+    assert _one(spark, H.html_h1(F.col("html"))) == "First Heading Second Heading"
+
+
+def test_body_excludes_h1_script_style_comments(spark):
+    body = _one(spark, H.html_body_without_h1(F.col("html")))
+    assert body == "Body text <one> here. More body words"
+    assert "Heading" not in body  # the fieldElements.remove() quirk
+    assert "ghost" not in body and "color" not in body and "var x" not in body
+
+
+def test_no_body_tag_falls_back_to_document(spark):
+    df = spark.createDataFrame([("<h1>T</h1> plain fragment",)], "html string")
+    got = df.select(H.html_body_without_h1(F.col("html")).alias("v")).collect()[0]["v"]
+    assert got == "plain fragment"
+
+
+def test_html_fields_and_docs_adapter(spark):
+    df = spark.createDataFrame(
+        [("siteA", "https://a.example/x", DOC)], "site string, url string, html string"
+    )
+    f = H.html_fields(df, "html").collect()[0]
+    assert f["title"] == "My & Your Page"
+    assert f["h1"] == "First Heading Second Heading"
+
+    d = H.html_to_docs(df).collect()[0]
+    assert d["repo"] == "siteA"
+    assert d["path"].startswith("https://a.example/x ")
+    assert "First Heading" in d["path"] and "My & Your Page" in d["path"]
+    assert d["lang"] == "html"
+    assert len(d["commit"]) == 8
+    assert "Heading" not in d["content"]
+
+
+def test_extraction_stays_jvm_side(spark):
+    df = spark.createDataFrame([("<p>x</p>",)], "html string")
+    plan = (
+        H.html_fields(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
