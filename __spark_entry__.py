@@ -7,8 +7,10 @@ queries()    — one entry per implemented operator family from
                each callable (spark, sf_dir) -> DataFrame.
 oracle_sql() — exactly-matching DuckDB SQL for EVERY queries() entry
                (set equality is pytest-enforced), including the
-               bit-level simhash machinery, recursive-CTE connected
-               components, and the deterministic fake media decode.
+               bit-level simhash fingerprints (brute-force paired —
+               valid because the Spark blocking is guaranteed-recall),
+               recursive-CTE connected components, and the
+               deterministic fake media decode.
 
 Float discipline: every float column is round(x, 6) on BOTH sides;
 deterministic orderings use rounded keys + id tie-breaks so top-k sets
@@ -311,6 +313,19 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, list(q0), k=10)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF top-k: md5-seeded deterministic centroids, nearest-centroid
+    assignment (rounded-cosine argmax, ties -> lowest cid), probe the 2
+    nearest partitions, exact cosine within. iters=0 keeps the whole
+    dataflow SQL-expressible; Lloyd refinement (iters>0) is
+    pytest-verified against the exact baseline instead."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ivf_topk(
+        emb, list(q0), k=10, n_centroids=8, nprobe=2, iters=0
+    )
+
+
 def q_ann_lsh_pairs(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.hyperplane_lsh_pairs(emb, tau=COSINE_TAU, dim=64)
@@ -394,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_cosine_all": q_ann_cosine_all,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
@@ -597,6 +613,40 @@ def _sql_ann_topk() -> str:
     return _sql_ann_all() + " ORDER BY cosine DESC, vec_id ASC LIMIT 10"
 
 
+def _sql_ann_ivf(k: int = 8, nprobe: int = 2, topk: int = 10) -> str:
+    """Mirror of similarity.ivf_topk(iters=0): same md5-seeded centroid
+    pick, same rounded-argmax assignment with lowest-cid ties, same
+    probe selection, same final ordering."""
+    cos_ac = _sql_cosine("e.embedding", "c.cvec")
+    cos_cq = _sql_cosine("c.cvec", "q.qv")
+    cos_aq = _sql_cosine("a.embedding", "q.qv")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT (row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cid,
+         embedding AS cvec
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid, round({cos_ac}, 6) AS s
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM (SELECT c.cid, round({cos_cq}, 6) AS s FROM cents c, q)
+  ORDER BY s DESC, cid ASC LIMIT {nprobe}
+)
+SELECT a.vec_id, round({cos_aq}, 6) AS cosine
+FROM assign a, q
+WHERE a.cid IN (SELECT cid FROM probes)
+ORDER BY cosine DESC, a.vec_id ASC LIMIT {topk}
+"""
+
+
 def _sql_ann_lsh() -> str:
     n_planes, bands = similarity.DEFAULT_N_PLANES, similarity.DEFAULT_LSH_BANDS
     r = n_planes // bands
@@ -782,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "token_batches": _sql_token_batches(),
         "ann_cosine_all": _sql_ann_all(),
         "ann_cosine_topk": _sql_ann_topk(),
+        "ann_ivf_topk": _sql_ann_ivf(),
         "ann_lsh_pairs": _sql_ann_lsh(),
         "events_hourly": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

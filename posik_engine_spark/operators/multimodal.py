@@ -86,6 +86,46 @@ def decode_features(
     return df.select("doc_id", payload_col).mapInPandas(op, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    fake: bool = False,
+) -> DataFrame:
+    """Image resize plumbing via mapInPandas: (doc_id, payload) ->
+    (doc_id, width, height, payload). The real pixel decode/resample is
+    stubbed like decode_features (no codec libraries in this sandbox);
+    ``fake=True`` emits a deterministic pseudo-payload (sha256 of input
+    bytes + target dims) with the exact schema/batch shape a real
+    Pillow/libvips worker would produce, so downstream writers and
+    repartitioning are testable."""
+    out_schema = "doc_id long, width int, height int, payload binary"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"{width}x{height}".encode()
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resize requires codec libraries not present in this "
+                    "environment; pass fake=True for the deterministic stub"
+                )
+            payloads = [
+                hashlib.sha256((p if p is not None else b"") + tag).digest()
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(op, out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000, payload_col: str = "payload"
 ) -> DataFrame:

@@ -17,10 +17,12 @@ __spark_entry__.py).
   first-fit packer would need per-partition state for ~zero practical
   gain at corpus scale.
 
-At 100 TB: both are one narrow projection plus (for packing) a single
-window over (stratum, doc_id) — the shuffle is by stratum; heavily
-skewed strata would want the window replaced by a two-phase
-cumsum (per-partition partials + prefix offsets), noted inline.
+At 100 TB: the sample is a narrow projection (no shuffle). Packing is a
+single window over (stratum, doc_id) by default; for heavily skewed
+strata ``skew_buckets`` switches to the two-phase cumsum (doc_id-range
+sub-buckets -> per-bucket partials -> tiny prefix window -> parallel
+intra-bucket windows), which is result-identical and spreads one giant
+stratum over strata x buckets tasks.
 """
 
 from __future__ import annotations
@@ -55,25 +57,70 @@ def pack_token_batches(
     strata_col: str = "source",
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
+    skew_buckets: int | None = None,
 ) -> DataFrame:
     """(doc_id, stratum, n_tokens) -> + batch_id.
 
     batch_id = floor(start_offset / budget) where start_offset is the
     cumulative token count of all PRIOR docs in the stratum (ordered by
     doc_id). Docs larger than the budget get their own batch(es) by
-    construction. One window = one shuffle on the stratum key; at
-    extreme stratum skew replace with two-phase cumsum (partial sums
-    per partition + broadcast prefix offsets).
+    construction.
+
+    ``skew_buckets=None``: one window = one shuffle on the stratum key;
+    a giant stratum serializes into ONE window task. For skewed strata
+    pass a power-of-two ``skew_buckets``: the TWO-PHASE cumsum splits
+    each stratum into doc_id-RANGE sub-buckets (top bits of the id —
+    arithmetic shift preserves numeric order, and doc_ids are xxhash64
+    outputs, i.e. uniform over int64, so ranges are near-equal), sums
+    tokens per (stratum, bucket), prefix-sums that TINY table with a
+    window, and computes the intra-bucket cumsum in parallel across
+    strata x buckets tasks. Result is IDENTICAL to the single-window
+    form (pytest-pinned) — only the parallelism changes.
     """
-    w = (
+    if skew_buckets is None:
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+        return docs.select(
+            id_col,
+            strata_col,
+            tokens_col,
+            F.floor(start / F.lit(token_budget)).cast("long").alias("batch_id"),
+        )
+
+    if skew_buckets < 2 or skew_buckets & (skew_buckets - 1):
+        raise ValueError("skew_buckets must be a power of two >= 2")
+    n_bits = skew_buckets.bit_length() - 1
+    # signed arithmetic shift: bucket ordering == doc_id ordering
+    bucket = F.shiftright(F.col(id_col).cast("long"), 64 - n_bits)
+    d = docs.select(id_col, strata_col, tokens_col, bucket.alias("_b"))
+    # phase 1: per-(stratum, bucket) token totals — strata x buckets rows
+    partials = d.groupBy(strata_col, "_b").agg(F.sum(tokens_col).alias("_bt"))
+    # phase 2: exclusive prefix over the tiny partials table
+    wb = (
         Window.partitionBy(strata_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        strata_col, "_b", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_off")
+    )
+    # phase 3: intra-bucket cumsum in parallel + bucket offset
+    wi = (
+        Window.partitionBy(strata_col, "_b")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    start = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
-    return docs.select(
-        id_col,
-        strata_col,
-        tokens_col,
-        F.floor(start / F.lit(token_budget)).cast("long").alias("batch_id"),
+    start = F.coalesce(F.sum(tokens_col).over(wi), F.lit(0)) + F.col("_off")
+    return (
+        d.join(F.broadcast(offsets), [strata_col, "_b"])
+        .select(
+            id_col,
+            strata_col,
+            tokens_col,
+            F.floor(start / F.lit(token_budget)).cast("long").alias("batch_id"),
+        )
     )

@@ -6,10 +6,19 @@
                         sum order is deterministic).
 - cosine_pairs:         exact near-dup pairs (cosine >= tau) — O(n^2),
                         correctness baseline for the LSH variant.
-- hyperplane_lsh_pairs: the scale path — random-hyperplane signatures
-                        with md5-derived deterministic plane weights
-                        (portable to the DuckDB oracle), banded bucket
-                        join for candidates, exact cosine verification.
+- hyperplane_lsh_pairs: the scale path for PAIRS — random-hyperplane
+                        signatures with md5-derived deterministic plane
+                        weights (portable to the DuckDB oracle), banded
+                        bucket join for candidates, exact cosine
+                        verification.
+- ivf_*:                the scale path for QUERIES — IVF (inverted-file)
+                        partitioning: deterministic centroids (md5-seeded
+                        + optional Lloyd refinement), every vector
+                        assigned to its nearest centroid, and a top-k
+                        query probes only the nprobe nearest partitions.
+                        Scan cost per query drops from O(n) to
+                        O(n * nprobe / k) once the assignment is
+                        materialized/partitioned by cid.
 
 At 100 TB the LSH variant's candidate join shuffles only
 (vec_id, band, bucket) rows; brute force stays for small query sets
@@ -162,4 +171,126 @@ def hyperplane_lsh_pairs(
         .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= tau)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+# ----------------------------------------------------------------- IVF
+DEFAULT_IVF_K = 8
+DEFAULT_NPROBE = 2
+
+
+def _lit_vec(v) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def ivf_seed_centroids(emb: DataFrame, k: int, vec_col: str = "embedding"):
+    """Deterministic centroid seeds: the k vectors with the smallest
+    md5(vec_id) hex digest (engine-portable ordering — any SQL engine
+    reproduces the exact pick; vec_id tie-break). Returns
+    [(cid, vector)] with cid = 0..k-1 in that order."""
+    rows = (
+        emb.select("vec_id", vec_col)
+        .orderBy(F.md5(F.col("vec_id").cast("string").cast("binary")), F.col("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    return [(i, list(r[vec_col])) for i, r in enumerate(rows)]
+
+
+def _assign_expr(centroids, vec_col: str) -> Column:
+    """cid of the nearest centroid by ROUNDED cosine (6 places), ties ->
+    lowest cid. Rounding BEFORE the argmax makes the decision identical
+    across engines (same discipline as every other float contract
+    column); the struct-max trick (score, -cid) picks the lowest cid
+    among rounded-equal scores."""
+    cands = [
+        F.struct(
+            F.round(cosine_expr(F.col(vec_col), _lit_vec(v)), 6).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, v in centroids
+    ]
+    best = F.array_max(F.array(*cands))
+    return (-best["nc"]).cast("int")
+
+
+def ivf_assign(
+    emb: DataFrame, centroids, vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, embedding) + cid of the nearest centroid. At scale,
+    write this partitioned/bucketed by cid — queries then scan only the
+    probed partitions."""
+    return emb.withColumn("cid", _assign_expr(centroids, vec_col))
+
+
+def ivf_refine_centroids(
+    emb: DataFrame, centroids, iters: int, vec_col: str = "embedding"
+):
+    """Lloyd refinement: per iteration, assign all vectors and recompute
+    each centroid as the element-wise mean of its cluster (posexplode +
+    (cid, pos) agg — one shuffle of (cid, pos, partial) rows, k*dim
+    collected to the driver). Clusters that lose every vector keep
+    their previous centroid. Deterministic: assignment uses the rounded
+    argmax above and the mean is an exact agg."""
+    dim = len(centroids[0][1])
+    for _ in range(max(0, iters)):
+        assigned = ivf_assign(emb, centroids, vec_col)
+        rows = (
+            assigned.select("cid", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
+        centroids = [
+            (cid, by_cid.get(cid, v)) for cid, v in centroids
+        ]
+    return centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_centroids: int = DEFAULT_IVF_K,
+    nprobe: int = DEFAULT_NPROBE,
+    iters: int = 0,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: probe the nprobe centroids nearest the query, score
+    only vectors assigned to them. iters=0 keeps the whole dataflow
+    SQL-expressible (the contract oracle); iters>0 adds Lloyd
+    refinement (pytest-verified recall vs the exact baseline).
+
+    Probe selection runs as a tiny Spark job over the k centroids so
+    its rounding matches the assignment exprs exactly (python round()
+    is banker's rounding — NOT the same as Spark/DuckDB HALF_UP)."""
+    spark = emb.sparkSession
+    cents = ivf_seed_centroids(emb, n_centroids, vec_col)
+    if iters:
+        cents = ivf_refine_centroids(emb, cents, iters, vec_col)
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in v]) for cid, v in cents],
+        "cid int, cvec array<double>",
+    )
+    probes = [
+        int(r["cid"])
+        for r in cdf.select(
+            "cid", F.round(cosine_expr(F.col("cvec"), _lit_vec(query_vec)), 6).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("cid"))
+        .limit(nprobe)
+        .collect()
+    ]
+    assigned = ivf_assign(emb, cents, vec_col)
+    return (
+        assigned.filter(F.col("cid").isin(probes))
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col(vec_col), _lit_vec(query_vec)), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
     )

@@ -143,3 +143,23 @@ def test_load_refuses_or_replays_pending_incremental_intent(spark, tmp_path):
     rows_a = sorted(map(tuple, ix.blocks.collect()))
     rows_b = sorted(map(tuple, ix_full.blocks.collect()))
     assert rows_a == rows_b
+
+
+def test_big_vocab_distributed_dict_search_parity(spark, monkeypatch):
+    """With the driver dict disabled (vocab > DRIVER_DICT_MAX_TERMS),
+    the engine probes the distributed term_stats per query — results
+    must equal the preloaded-dict engine exactly."""
+    docs = corpus.synthetic_docs(spark, 80, seed=3).cache()
+    with SearchEngine.from_docs(spark, docs, n_shards=4) as eng_small:
+        # hits tuples: (doc_id, repo, uri, title, snippet, relevance, score)
+        expect = [(h[0], h[6]) for h in eng_small.search("varint merge").hits]
+        monkeypatch.setattr(spec, "DRIVER_DICT_MAX_TERMS", 1)
+        with SearchEngine.from_docs(spark, docs, n_shards=4) as eng_big:
+            assert not eng_big._dict_complete
+            got = [(h[0], h[6]) for h in eng_big.search("varint merge").hits]
+            assert got == expect
+            # stop-word-only and relaxation behavior survive too
+            with pytest.raises(Exception):
+                eng_big.search("the and of")
+            r = eng_big.search("varint zzznonexistent")
+            assert r.surviving_terms == ["varint"]

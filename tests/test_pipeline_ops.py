@@ -173,6 +173,32 @@ def test_admission_filter(spark):
     assert prepared.count() == 2
 
 
+def test_pack_token_batches_two_phase_identical(spark):
+    """skew_buckets two-phase cumsum must produce EXACTLY the same
+    batch assignment as the single-window form, including one giant
+    stratum (the skew case it exists for)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.getrandbits(63) - 2**62, "big", rng.randint(1, 400)) for _ in range(600)]
+    rows += [(rng.getrandbits(63) - 2**62, f"s{i%3}", rng.randint(1, 400)) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    one = {
+        (r["doc_id"]): (r["source"], r["batch_id"])
+        for r in sampling.pack_token_batches(docs, token_budget=1000).collect()
+    }
+    for nb in (2, 16, 256):
+        two = {
+            (r["doc_id"]): (r["source"], r["batch_id"])
+            for r in sampling.pack_token_batches(
+                docs, token_budget=1000, skew_buckets=nb
+            ).collect()
+        }
+        assert two == one, f"skew_buckets={nb} diverged"
+    with pytest.raises(ValueError):
+        sampling.pack_token_batches(docs, token_budget=1000, skew_buckets=3)
+
+
 def test_production_minhash_defaults():
     """Guard the production S-curve: 128 perms / 16 bands (r=8) — the
     round-1 fixture defaults (6/3, r=2) explode candidates at scale."""
@@ -202,6 +228,53 @@ def test_jaccard_hot_shingle_cap(spark, caplog):
         ).collect()
     assert capped == []
     assert any("dropping 1 shingles" in m for m in caplog.messages)
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """4 well-separated gaussian clusters of 30 vectors (dim 16)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(4, 16)) * 10.0
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(30):
+            v = c + rng.normal(scale=0.3, size=16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_ivf_topk_recall_on_clustered_data(spark, clustered_emb):
+    """With Lloyd refinement and enough probes, IVF top-k over separable
+    clusters matches the exact brute-force top-k."""
+    q = list(clustered_emb.filter("vec_id = 5").collect()[0]["embedding"])
+    exact = [r["vec_id"] for r in similarity.cosine_topk(clustered_emb, q, k=10).collect()]
+    got = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            clustered_emb, q, k=10, n_centroids=4, nprobe=2, iters=2
+        ).collect()
+    ]
+    assert got == exact  # all true neighbors live in the probed clusters
+
+
+def test_ivf_deterministic_and_probe_scan_is_partial(spark, clustered_emb):
+    """Seeds/refinement are deterministic (same result twice), and the
+    probed candidate set is a strict subset of the corpus (the point of
+    IVF: don't scan every vector)."""
+    cents1 = similarity.ivf_seed_centroids(clustered_emb, 4)
+    cents2 = similarity.ivf_seed_centroids(clustered_emb, 4)
+    assert cents1 == cents2
+    ref1 = similarity.ivf_refine_centroids(clustered_emb, cents1, iters=2)
+    ref2 = similarity.ivf_refine_centroids(clustered_emb, cents2, iters=2)
+    assert ref1 == ref2
+
+    assigned = similarity.ivf_assign(clustered_emb, ref1)
+    sizes = {r["cid"]: r["count"] for r in assigned.groupBy("cid").count().collect()}
+    assert len(sizes) == 4 and all(v < 120 for v in sizes.values())
 
 
 def test_hyperplane_lsh_subset_of_exact_cosine(spark):
@@ -258,6 +331,25 @@ def test_multimodal_fake_decode_partition_independent(spark):
     f8 = {r["doc_id"]: r["features"] for r in multimodal.decode_features(df8, fake=True).collect()}
     assert f1 == f8
     assert all(len(v) == multimodal.FEATURE_DIM for v in f1.values())
+
+
+def test_multimodal_resize_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"imgbytes1"), (2, b"imgbytes2"), (3, None)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        multimodal.resize_images(df, 224, 224, fake=False).collect()
+    out = {r["doc_id"]: r for r in multimodal.resize_images(df, 224, 224, fake=True).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r["width"] == 224 and r["height"] == 224 for r in out.values())
+    assert all(len(r["payload"]) == 32 for r in out.values())
+    # deterministic: same input + dims -> same payload; dims change it
+    out2 = {r["doc_id"]: r for r in multimodal.resize_images(df, 224, 224, fake=True).collect()}
+    assert {k: bytes(v["payload"]) for k, v in out.items()} == {
+        k: bytes(v["payload"]) for k, v in out2.items()
+    }
+    out3 = {r["doc_id"]: r for r in multimodal.resize_images(df, 64, 64, fake=True).collect()}
+    assert bytes(out3[1]["payload"]) != bytes(out[1]["payload"])
 
 
 def test_multimodal_magic_sniff(spark):
