@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--incremental", action="store_true")
     p.add_argument("--filter", default=None)
     p.add_argument("--admit", action="store_true")
+    p.add_argument(
+        "--content-store", default=None,
+        help="also write a doc_id-bucketed+sorted content store here "
+        "(serving-side pruned snippet lookups; full overwrite per run)",
+    )
+    p.add_argument("--content-buckets", type=int, default=64)
     p.add_argument("--min-chars", type=int, default=None)
     p.add_argument("--max-chars", type=int, default=None)
     p.add_argument("--max-punct-ratio", type=float, default=None)
@@ -109,6 +115,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         ix = builder.build(docs)
     elapsed = time.time() - t0
+    if args.content_store:
+        if args.filter:
+            raise SystemExit(
+                "--content-store with --filter would write a store covering "
+                "only the filtered subset; run it on a full snapshot"
+            )
+        from posik_engine_spark.operators.content_store import save_content_store
+
+        save_content_store(docs, args.content_store, n_buckets=args.content_buckets)
     report = {
         "elapsed_sec": elapsed,
         "n_docs": ix.meta.n_docs,
