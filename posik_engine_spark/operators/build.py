@@ -22,6 +22,7 @@ tiny final agg. Shards make every downstream stage doc-partitioned.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -30,6 +31,42 @@ from pyspark.sql import types as T
 
 from posik_engine_spark import spec
 from posik_engine_spark.functions.tokenizer import tokenize_expr, tokenize_udf
+
+# Target bytes of document content per Arrow batch entering the
+# tokenize UDF. Batches are sized in ROWS by Spark
+# (spark.sql.execution.arrow.maxRecordsPerBatch), but the resource that
+# actually saturates is BYTES: ~20 MB batches (1024 rows x ~20 KB
+# source files) triple worker wall time via allocator/page-fault churn
+# once several workers run per host (measured on this sandbox: 8-core
+# tokenize stage 316 s -> 152 s after resizing), while ~40 KB batches
+# (tiny docs) drown in per-batch overhead. adaptive_arrow_batch samples
+# the corpus and pins rows ~= TARGET / avg_doc_bytes for the duration
+# of a build stage.
+TARGET_ARROW_BATCH_BYTES = 2 << 20
+_ARROW_BATCH_KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
+
+
+@contextmanager
+def adaptive_arrow_batch(docs: DataFrame, sample_rows: int = 2048):
+    """Scope the session's Arrow batch row count to the corpus's doc
+    size (content-length average over a bounded sample; one cheap
+    partial scan). Restores the previous setting on exit. The actions
+    that EXECUTE the tokenize UDF must run inside the scope — the conf
+    is read at execution, not at plan-build, time."""
+    spark = docs.sparkSession
+    prev = spark.conf.get(_ARROW_BATCH_KEY)
+    try:
+        avg = (
+            docs.select(F.length("content").alias("l"))
+            .limit(sample_rows)
+            .agg(F.avg("l"))
+            .collect()[0][0]
+        ) or 1.0
+        rows = int(max(64, min(4096, TARGET_ARROW_BATCH_BYTES / max(avg, 1.0))))
+        spark.conf.set(_ARROW_BATCH_KEY, str(rows))
+        yield rows
+    finally:
+        spark.conf.set(_ARROW_BATCH_KEY, prev)
 
 
 # the build-state projection of prepare_docs output: everything the tf

@@ -183,19 +183,20 @@ def build_index(
 ) -> Index:
     """One-shot in-memory build (the checkpointed/resumable job wrapper
     lives in jobs/build_index.py)."""
-    prepared = B.prepare_docs(docs, n_shards=n_shards)
-    tf = B.term_freqs(prepared)
-    if cache:
-        tf = tf.cache()
-    meta = B.corpus_meta(prepared)
-    stats = B.term_stats(tf)
-    blocks = build_blocks(tf)
-    ds = B.doc_stats(prepared)
-    if cache:
-        blocks = blocks.cache()
-        ds = ds.cache()
-        stats = stats.cache()
-        blocks.count(), ds.count(), stats.count()
+    with B.adaptive_arrow_batch(docs):
+        prepared = B.prepare_docs(docs, n_shards=n_shards)
+        tf = B.term_freqs(prepared)
+        if cache:
+            tf = tf.cache()
+        meta = B.corpus_meta(prepared)
+        stats = B.term_stats(tf)
+        blocks = build_blocks(tf)
+        ds = B.doc_stats(prepared)
+        if cache:
+            blocks = blocks.cache()
+            ds = ds.cache()
+            stats = stats.cache()
+            blocks.count(), ds.count(), stats.count()
     return Index(blocks=blocks, doc_stats=ds, term_stats=stats, meta=meta)
 
 

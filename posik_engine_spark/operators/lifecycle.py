@@ -248,7 +248,7 @@ class IndexBuilder:
     def _stage_prepare(self, docs: DataFrame) -> None:
         if _done(self.out_dir, "prepare"):
             return
-        with _Stage(self.out_dir, "prepare") as st:
+        with _Stage(self.out_dir, "prepare") as st, B.adaptive_arrow_batch(docs):
             from pyspark import StorageLevel
             from pyspark.sql import Observation
 
@@ -470,7 +470,12 @@ class IndexBuilder:
             new_or_changed.select("repo", "path", "commit", "lang", "content"),
             n_shards=self.n_shards,
         ).select(*B.PREPARED_SLIM_COLS).cache()
-        new_shards = [r["shard"] for r in prepared_new.select("shard").distinct().collect()]
+        with B.adaptive_arrow_batch(snapshot):
+            # materialize under the scoped Arrow batch size: this is the
+            # only action that runs the tokenize UDF on the new docs
+            new_shards = [
+                r["shard"] for r in prepared_new.select("shard").distinct().collect()
+            ]
         affected = sorted(stale_shards | set(new_shards))
         if not affected:
             return self.load()

@@ -189,3 +189,19 @@ def test_broadcast_used_for_small_dims(spark):
     small = spark.range(0, 10).select(F.col("id").alias("doc_id"))
     plan = _plan(big.join(small, "doc_id", "left_semi"))
     assert "Broadcast" in plan
+
+
+def test_adaptive_arrow_batch_sizing(spark):
+    """Arrow batches are sized to ~TARGET bytes of content: big docs ->
+    few rows, tiny docs -> clamped max; previous conf restored."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    big = spark.createDataFrame([("x" * 20000,)] * 10, "content string")
+    small = spark.createDataFrame([("tiny",)] * 10, "content string")
+    with build.adaptive_arrow_batch(big) as rows:
+        assert 64 <= rows <= 128
+        assert spark.conf.get(key) == str(rows)
+    assert spark.conf.get(key) == prev
+    with build.adaptive_arrow_batch(small) as rows:
+        assert rows == 4096
+    assert spark.conf.get(key) == prev
