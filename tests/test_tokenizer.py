@@ -107,3 +107,48 @@ def test_stop_tokens_frozen():
     # guard against accidental spec drift: stop set is part of rank identity
     assert "the" in spec.STOP_TOKENS and "def" not in spec.STOP_TOKENS
     assert len(spec.STOP_TOKENS) == 25
+
+
+def test_four_way_agreement_randomized(spark):
+    """Seeded random strings — ASCII identifiers, unicode, punctuation
+    soup, underscore/camel edge shapes — through all four forms in ONE
+    batched comparison (the 4-way contract is the engine's most
+    load-bearing invariant; goldens alone cover too little space)."""
+    import random
+
+    rng = random.Random(20260817)
+    frags = [
+        "foo", "BAR", "Baz", "x", "9", "42", "_", "__", "-", "--", " ", "\t",
+        "parseHttpRequest", "snake_case", "HTTPServer", "a_B", "X9y",
+        "ё", "июня", "漢字", "é", "!", ".", ",", "#", "block-max", "top-k",
+        "CamelCASEMix", "0xDEADbeef", "endsWithCap_X", "A", "ab", "aB",
+    ]
+    texts = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        for _ in range(200)
+    ]
+    expect = [tokenize_py(t) for t in texts]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got_udf = {
+        r["id"]: r["toks"]
+        for r in df.select("id", tokenize_udf("text").alias("toks")).collect()
+    }
+    got_expr = {
+        r["id"]: r["toks"]
+        for r in df.select("id", tokenize_expr("text").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    got_sql = dict(
+        con.execute(
+            f"SELECT i, {tokenize_sql_duckdb('t')} FROM "
+            f"(SELECT unnest(range({len(texts)})) i, unnest($1) t)",
+            [texts],
+        ).fetchall()
+    )
+    for i, t in enumerate(texts):
+        assert got_udf[i] == expect[i], (t, got_udf[i], expect[i])
+        assert got_expr[i] == expect[i], (t, got_expr[i], expect[i])
+        assert got_sql[i] == expect[i], (t, got_sql[i], expect[i])
