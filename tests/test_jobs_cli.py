@@ -1,0 +1,76 @@
+"""CLI job entry points run in-process (argparse contract + wiring):
+build with admission/content-store, query + statistics via search_cli,
+streaming catch-up via stream_ingest --available-now."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from posik_engine_spark import corpus
+from posik_engine_spark.jobs import build_index as build_job
+from posik_engine_spark.jobs import search_cli
+from posik_engine_spark.jobs import stream_ingest
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    src = str(root / "docs")
+    corpus.synthetic_docs(spark, 80, seed=19).write.parquet(src)
+    ix = str(root / "ix")
+    cs = str(root / "content")
+    rc = build_job.main(
+        [
+            "--source", src, "--out", ix, "--n-shards", "4",
+            "--admit", "--content-store", cs,
+        ]
+    )
+    assert rc == 0
+    return src, ix, cs
+
+
+def test_build_job_report(built, capsys):
+    src, ix, cs = built
+    import os
+
+    assert os.path.exists(os.path.join(ix, "meta.json"))
+    assert os.path.exists(os.path.join(cs, "_content_store.json"))
+
+
+def test_search_cli_query_and_statistics(built, capsys):
+    _, ix, cs = built
+    rc = search_cli.main(
+        ["--index", ix, "--content-store", cs, "--query", "varint merge", "--limit", "5"]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["result"] is True and 1 <= out["count"] <= 5
+    assert out["hits"][0]["relevance"] == 1.0
+    assert "<b>" in out["hits"][0]["snippet"]
+
+    rc = search_cli.main(["--index", ix, "--content-store", cs, "--statistics"])
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st["total"]["pages"] > 0 and st["total"]["isIndexing"] is False
+
+    # nothing-found surfaces as result=False + exit 1
+    rc = search_cli.main(
+        ["--index", ix, "--content-store", cs, "--query", "zzznotaword"]
+    )
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and err["result"] is False
+
+
+def test_stream_ingest_available_now(spark, tmp_path, capsys):
+    arrivals = str(tmp_path / "arr")
+    corpus.synthetic_docs(spark, 30, seed=23).coalesce(1).write.parquet(arrivals)
+    rc = stream_ingest.main(
+        [
+            "--source", arrivals, "--out", str(tmp_path / "six"),
+            "--checkpoint", str(tmp_path / "ckpt"), "--n-shards", "4",
+            "--available-now",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out["n_docs"] > 0
+    assert out["counters"]["docs_tokenized"] == out["n_docs"]
