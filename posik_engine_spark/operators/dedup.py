@@ -246,9 +246,36 @@ def _simhash_py(tokens: list[str]) -> int:
 
 @F.pandas_udf(T.LongType())
 def _simhash_udf(tokens: pd.Series) -> pd.Series:  # pragma: no cover (executors)
-    return pd.Series(
-        [np.int64(np.uint64(_simhash_py(t if t is not None else []))) for t in tokens]
-    )
+    """Batch-vectorized simhash, bit-identical to _simhash_py (the
+    pytest oracle): md5 computed once per DISTINCT token across the
+    Arrow batch (memoized — corpora repeat tokens heavily), bit voting
+    as one numpy broadcast per doc instead of a 64-iteration Python
+    loop per token (acc[j] = Σ tf·(2·bit_j − 1); sign -> bit)."""
+    import hashlib
+    from collections import Counter
+
+    md5_cache: dict[str, int] = {}
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, toks in enumerate(tokens):
+        cnt = Counter(toks if toks is not None else [])
+        if not cnt:
+            # empty token list: all votes are 0, acc >= 0 everywhere
+            out[i] = np.uint64(2**64 - 1)
+            continue
+        hs = np.empty(len(cnt), dtype=np.uint64)
+        tfs = np.empty(len(cnt), dtype=np.int64)
+        for j, (t, c) in enumerate(cnt.items()):
+            h = md5_cache.get(t)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                md5_cache[t] = h
+            hs[j] = h
+            tfs[j] = c
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * tfs[:, None]).sum(axis=0)
+        out[i] = ((acc >= 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+    return pd.Series(out.view(np.int64))
 
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
