@@ -480,7 +480,7 @@ def _sql_admitted_docs() -> str:
     t = "coalesce(text, '')"
     punct = (
         f"round(CASE WHEN length({t}) > 0 THEN "
-        f"length(regexp_replace(lower({t}), '{textops.PUNCT_STRIP_RE}', '', 'g'))::DOUBLE"
+        f"length(regexp_replace({t}, '{textops.ADMIT_TEXT_CHAR_RE}', '', 'g'))::DOUBLE"
         f" / length({t}) ELSE 0.0 END, 6)"
     )
     digit = (

@@ -41,9 +41,12 @@ def _strip_noise(col: Column) -> Column:
     """Remove what jsoup's DOM never exposes as element text: comments
     and script/style blocks (content included). Element extraction must
     run on this form, or a '<h1>' inside a script string would parse as
-    a heading."""
-    c = F.regexp_replace(col, _COMMENTS, " ")
-    return F.regexp_replace(c, _DROP_BLOCKS, " ")
+    a heading. Scripts are stripped BEFORE comments: a '<!--' inside a
+    script string is common in legacy pages and would otherwise swallow
+    real markup up to the next '-->' anywhere in the document; a
+    '<script>' inside a comment (the reverse hazard) is far rarer."""
+    c = F.regexp_replace(col, _DROP_BLOCKS, " ")
+    return F.regexp_replace(c, _COMMENTS, " ")
 
 
 def _text(col: Column) -> Column:
@@ -77,8 +80,13 @@ def html_body_without_h1(col: Column) -> Column:
     fall back to the whole-document text (jsoup normalizes a missing
     body the same way)."""
     c = _strip_noise(col)
-    body = F.regexp_extract(c, r"(?is)<body\b[^>]*>(.*)</body\s*>", 1)
-    body = F.when(body == "", c).otherwise(body)
+    # fall back to the whole document only when NO <body> tag exists:
+    # an explicitly empty <body></body> must yield "", not leak the
+    # head/title text into the body field (double-counting)
+    has_body = c.rlike(r"(?is)<body\b[^>]*>.*</body\s*>")
+    body = F.when(
+        has_body, F.regexp_extract(c, r"(?is)<body\b[^>]*>(.*)</body\s*>", 1)
+    ).otherwise(c)
     return _text(F.regexp_replace(body, _H1_BLOCK, " "))
 
 

@@ -7,10 +7,10 @@
         --index /data/ix --content-store /data/ix_content \
         --query "parseHttpRequest" [--repo r1] [--offset 0] [--limit 20]
 
-Pass --statistics instead of --query for the corpus stats document.
-Content comes from --content-store (bucketed store, pruned point
-lookups) or --docs (corpus parquet; snippet scans the persisted docs).
-One of the two is required for --query.
+Pass --statistics instead of --query for the corpus stats document
+(needs no content source). Content comes from --content-store (bucketed
+store, pruned point lookups) or --docs (corpus parquet; snippet scans
+the persisted docs); one of the two is required for --query.
 """
 
 from __future__ import annotations

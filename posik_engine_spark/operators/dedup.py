@@ -99,7 +99,9 @@ def ngram_jaccard_pairs(
         import logging
 
         dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        hot = dfs.filter(F.col("df") > max_shingle_df)
+        # persist: the count() below AND the anti-join both consume this
+        # corpus-sized aggregation — uncached it would run twice
+        hot = dfs.filter(F.col("df") > max_shingle_df).persist()
         n_hot = hot.count()
         if n_hot:
             logging.getLogger(__name__).warning(

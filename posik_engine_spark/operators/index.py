@@ -42,10 +42,14 @@ BLOCKS_SCHEMA = (
     "max_tfp int, max_tfc int, min_lenp int, min_lenc int, "
     "docs binary, tfp binary, tfc binary, lenp binary, lenc binary"
 )
-# bump when BLOCKS_SCHEMA (or codec layout) changes incompatibly; on-
-# disk indexes record it and loads/resumes refuse a mismatch instead of
-# failing obscurely at decode time (v2 = inline lenp/lenc norms)
-INDEX_FORMAT_VERSION = 2
+# bump when BLOCKS_SCHEMA, the codec layout, OR tokenizer semantics
+# change incompatibly; on-disk indexes record it and loads/resumes
+# refuse a mismatch instead of failing obscurely later. Tokenizer
+# changes count: an incremental update mixing token regimes across
+# shards silently violates rank identity (df/idf stats and postings
+# disagree on what a token is). v2 = inline lenp/lenc norms; v3 = 1->N
+# whole-identifier expansion (functions/tokenizer.py).
+INDEX_FORMAT_VERSION = 3
 
 
 def kernel_np(

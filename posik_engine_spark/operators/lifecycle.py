@@ -199,16 +199,44 @@ class IndexBuilder:
         # record the build plan so OTHER processes (a serving engine's
         # statistics(), SURVEY.md §2 A3) can tell an in-flight /
         # crashed-partial build from a complete one without knowing the
-        # builder's constructor args
-        with open(os.path.join(out_dir, "_build_plan.json"), "w") as f:
-            json.dump(
-                {
-                    "n_shards": n_shards,
-                    "shard_batches": shard_batches,
-                    "n_batches": len(_shard_batches(n_shards, shard_batches)),
-                },
-                f,
-            )
+        # builder's constructor args. Written ONCE: the plan describes
+        # the build that produced the existing markers — overwriting it
+        # from a later builder constructed with different shard_batches
+        # (e.g. just to .load()) would make a complete index look
+        # forever in-flight. A mismatched plan on an EXISTING dir is
+        # refused like a format mismatch.
+        plan_path = os.path.join(out_dir, "_build_plan.json")
+        plan = {
+            "n_shards": n_shards,
+            "shard_batches": shard_batches,
+            "n_batches": len(_shard_batches(n_shards, shard_batches)),
+        }
+        if os.path.exists(plan_path):
+            with open(plan_path) as f:
+                existing = json.load(f)
+            if existing["n_shards"] != n_shards:
+                raise ValueError(
+                    f"IndexBuilder({out_dir}): existing build used "
+                    f"n_shards={existing['n_shards']}, this builder wants "
+                    f"{n_shards}; delete the directory or match the shards"
+                )
+            started = os.path.isdir(os.path.join(out_dir, "_markers"))
+            if started and existing["shard_batches"] != shard_batches:
+                # markers were committed under the recorded batching;
+                # resuming with a different one would leave marker names
+                # and the recorded plan permanently inconsistent
+                raise ValueError(
+                    f"IndexBuilder({out_dir}): existing build used "
+                    f"shard_batches={existing['shard_batches']}, this "
+                    f"builder wants {shard_batches}; construct with the "
+                    f"recorded value (or delete the directory)"
+                )
+            if not started:
+                with open(plan_path, "w") as f:
+                    json.dump(plan, f)
+        else:
+            with open(plan_path, "w") as f:
+                json.dump(plan, f)
 
     # ------------------------------------------------------------ paths
     @property

@@ -55,11 +55,46 @@ class SearchResponse:
         return self._data
 
 
-def _restore_conf(spark: SparkSession, key: str, value: str) -> None:
-    """GC-time finalizer target (module-level so it holds no engine
-    ref); best-effort — the session may already be stopped."""
+# Refcounted per-session AQE ownership: several engines may overlap on
+# one session (e.g. the docs-path and store-path engines in one test, a
+# serving engine outliving a rebuilt one). A naive save/set/restore per
+# engine is last-writer-loses — engine B would save A's already-"false"
+# value as the thing to restore, and a GC-timed finalizer could
+# re-enable AQE under a still-serving engine. Instead the FIRST engine
+# on a session saves the true previous value and disables AQE; the LAST
+# release restores it.
+import threading
+
+_AQE_KEY = "spark.sql.adaptive.enabled"
+_AQE_LOCK = threading.Lock()
+_AQE_STATE: dict[int, list] = {}  # id(spark) -> [prev_value, refcount]
+
+
+def _aqe_acquire(spark: SparkSession) -> None:
+    with _AQE_LOCK:
+        st = _AQE_STATE.get(id(spark))
+        if st is None:
+            prev = spark.conf.get(_AQE_KEY)
+            spark.conf.set(_AQE_KEY, "false")
+            _AQE_STATE[id(spark)] = [prev, 1]
+        else:
+            st[1] += 1
+
+
+def _aqe_release(spark: SparkSession) -> None:
+    """Engine close / GC-finalizer target (module-level so it holds no
+    engine ref); restore is best-effort — the session may be stopped."""
+    with _AQE_LOCK:
+        st = _AQE_STATE.get(id(spark))
+        if st is None:
+            return
+        st[1] -= 1
+        if st[1] > 0:
+            return
+        del _AQE_STATE[id(spark)]
+        prev = st[0]
     try:
-        spark.conf.set(key, value)
+        spark.conf.set(_AQE_KEY, prev)
     except Exception:
         pass
 
@@ -96,32 +131,26 @@ class SearchEngine:
         # the 100 TB serving path. None keeps the in-memory persisted
         # ``docs`` scan (right for small/ephemeral corpora).
         self._store = content_store
-        self._prev_aqe: str | None = None
+        self._aqe_held = False
         self._aqe_finalizer: weakref.finalize | None = None
         if optimize_for_queries:
             # serving fast path: query plans are exchange-free (the
             # persisted shard partitioning is reused), so AQE has
             # nothing to re-plan and its per-stage materialization only
-            # adds latency. Set ONCE here — a per-query save/toggle/
-            # restore races under concurrent searches and can leave the
-            # session with AQE permanently off. close() restores, and a
-            # weakref finalizer restores on GC for engines abandoned
+            # adds latency. Acquired ONCE via the refcounted per-session
+            # state above (overlap-safe); close() releases, and a
+            # weakref finalizer releases on GC for engines abandoned
             # without close() — otherwise one forgotten engine disables
             # AQE (incl. skew-join mitigation) for every later batch job
             # sharing the session.
-            self._prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
-            spark.conf.set("spark.sql.adaptive.enabled", "false")
-            self._aqe_finalizer = weakref.finalize(
-                self, _restore_conf, spark,
-                "spark.sql.adaptive.enabled", self._prev_aqe,
-            )
+            _aqe_acquire(spark)
+            self._aqe_held = True
+            self._aqe_finalizer = weakref.finalize(self, _aqe_release, spark)
         self.ix = ix.prepare_for_queries() if optimize_for_queries else ix
         # content joined back only for the top-k (content never enters
         # the scoring plan — column pruning by construction)
         self._content = None
-        if self._store is None:
-            if docs is None:
-                raise ValueError("need a docs DataFrame or a content_store")
+        if self._store is None and docs is not None:
             self._content = docs.select(
                 F.xxhash64("repo", "path", "commit").alias("doc_id"),
                 "repo", "path", "content",
@@ -179,11 +208,13 @@ class SearchEngine:
         """Serve from an on-disk index (IndexBuilder output or
         save_index dir). Snippet content comes from ``content_dir`` (a
         save_content_store dir — pruned point lookups, the scale path)
-        or from ``docs`` (persisted corpus scan); pass exactly one."""
+        or from ``docs`` (persisted corpus scan); pass at most one.
+        With neither, the engine serves statistics and raises a clear
+        error if a search needs snippet content."""
         from posik_engine_spark.operators.index import load_index
 
-        if (docs is None) == (content_dir is None):
-            raise ValueError("pass exactly one of docs / content_dir")
+        if docs is not None and content_dir is not None:
+            raise ValueError("pass at most one of docs / content_dir")
         store = None
         if content_dir is not None:
             from posik_engine_spark.operators.content_store import ContentStore
@@ -227,8 +258,12 @@ class SearchEngine:
         # volumes score locally on the collected blocks — identical
         # results (same shard_topk kernel + merge order), one Spark scan
         # instead of a grouped-map round trip; fat queries distribute.
-        if sum(dfs.values()) <= spec.DRIVER_WAND_MAX_POSTINGS:
-            return wand_topk_driver(self.ix, idfs, dfs, k, repos=repos)
+        # Repo-SCOPED queries always distribute: the driver path would
+        # collect the scoped repos' doc_stats, which the posting-volume
+        # gate does not bound (a rare-term query against a 100M-doc repo
+        # must not materialize that repo's doc table on the coordinator).
+        if repos is None and sum(dfs.values()) <= spec.DRIVER_WAND_MAX_POSTINGS:
+            return wand_topk_driver(self.ix, idfs, dfs, k)
         return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
 
     def close(self) -> None:
@@ -236,12 +271,12 @@ class SearchEngine:
         __init__ and unpersist the query-optimized caches (index tables
         + content store) — engines constructed repeatedly in one session
         would otherwise accumulate dead cached RDDs."""
-        if self._prev_aqe is not None:
-            self.spark.conf.set("spark.sql.adaptive.enabled", self._prev_aqe)
-            self._prev_aqe = None
-        if self._aqe_finalizer is not None:
-            self._aqe_finalizer.detach()
-            self._aqe_finalizer = None
+        if self._aqe_held:
+            self._aqe_held = False
+            if self._aqe_finalizer is not None:
+                self._aqe_finalizer.detach()
+                self._aqe_finalizer = None
+            _aqe_release(self.spark)
         for df in (
             self.ix.blocks, self.ix.doc_stats, self.ix.term_stats, self._content
         ):
@@ -318,6 +353,12 @@ class SearchEngine:
         if not window:
             return []
         ids = [r["doc_id"] for r in window]
+        if self._store is None and self._content is None:
+            raise SearchError(
+                "engine has no content source for snippets: construct it "
+                "with docs=... or content_dir=... (statistics-only engines "
+                "cannot serve search results)"
+            )
         if self._store is not None:
             # pruned point lookup: bucket partition pruning + doc_id
             # row-group min/max pruning (content_store.py)

@@ -98,6 +98,13 @@ DEFAULT_MIN_CHARS = 10
 DEFAULT_MAX_CHARS = 10_000_000
 DEFAULT_MAX_PUNCT_RATIO = 0.5
 DEFAULT_MAX_DIGIT_RATIO = 0.9
+# Admission's "not text" signal must be UNICODE-aware: PUNCT_STRIP_RE
+# ([a-z0-9\s], the ASCII-centric text_quality SIGNAL) would classify
+# every Cyrillic/CJK/accented letter as punctuation and silently reject
+# whole non-Latin corpora — the reference admits any text/* page
+# regardless of language (CrawlerService.java:72). \p{L}\p{N} works
+# identically in Java regex (Spark) and RE2 (DuckDB oracle).
+ADMIT_TEXT_CHAR_RE = r"[\p{L}\p{N}\s]"
 
 
 def admission_predicate(
@@ -113,7 +120,7 @@ def admission_predicate(
     is bit-identical between Spark and the SQL oracle."""
     c = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(c)
-    n_punct = F.length(F.regexp_replace(F.lower(c), PUNCT_STRIP_RE, ""))
+    n_punct = F.length(F.regexp_replace(c, ADMIT_TEXT_CHAR_RE, ""))
     n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
     punct_ratio = F.round(
         F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0)), 6

@@ -214,8 +214,11 @@ def wand_topk_driver(
     Repo-scoped queries collect doc_stats pre-filtered to the scoped
     repos: shard_topk's membership test (candidate present AND repo in
     scope) collapses to presence in the filtered frame, so the result
-    is unchanged while the collect stays proportional to the scoped
-    corpus slice.
+    is unchanged. CAVEAT: that collect is proportional to the scoped
+    repos' DOC COUNT, which the posting-volume gate does not bound —
+    SearchEngine therefore routes scoped queries to the distributed
+    path and uses this function only unscoped; the scoped support here
+    exists for small-corpus callers and the identity tests.
     """
     terms = sorted(term_idfs, key=lambda t: (term_dfs.get(t, 0), t))
     if not terms:

@@ -163,3 +163,36 @@ def test_big_vocab_distributed_dict_search_parity(spark, monkeypatch):
                 eng_big.search("the and of")
             r = eng_big.search("varint zzznonexistent")
             assert r.surviving_terms == ["varint"]
+
+
+def test_aqe_refcounted_across_overlapping_engines(spark):
+    """Two engines overlapping on one session: AQE stays disabled until
+    the LAST one closes, then restores the TRUE pre-engine value —
+    FIFO close order must not corrupt the saved conf (code-review
+    finding: last-writer-loses save/restore)."""
+    docs = corpus.synthetic_docs(spark, 30, seed=29).cache()
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    a = SearchEngine.from_docs(spark, docs, n_shards=2)
+    b = SearchEngine.from_docs(spark, docs, n_shards=2)
+    assert spark.conf.get(key) == "false"
+    a.close()  # FIFO: the first engine closes first
+    assert spark.conf.get(key) == "false", "b is still serving"
+    b.close()
+    assert spark.conf.get(key) == prev
+
+
+def test_statistics_only_engine(spark, tmp_path):
+    """from_index_dir with NO content source serves statistics but
+    refuses search with a clear error (search_cli --statistics path)."""
+    from posik_engine_spark.operators.index import build_index, save_index
+    from posik_engine_spark.oracle import SearchError
+
+    docs = corpus.synthetic_docs(spark, 30, seed=31).cache()
+    ix_dir = str(tmp_path / "ix")
+    save_index(build_index(docs, n_shards=2, cache=False), ix_dir)
+    with SearchEngine.from_index_dir(spark, ix_dir) as eng:
+        st = eng.statistics()
+        assert st["total"]["pages"] > 0
+        with pytest.raises(SearchError, match="no content source"):
+            eng.search("varint")

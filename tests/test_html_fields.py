@@ -71,3 +71,21 @@ def test_extraction_stays_jvm_side(spark):
         H.html_fields(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_explicit_empty_body_stays_empty(spark):
+    """An empty <body></body> must NOT fall back to the whole document
+    (title would double-count into the body field)."""
+    doc = "<html><head><title>Guide</title></head><body></body></html>"
+    df = spark.createDataFrame([(doc,)], "html string")
+    got = df.select(H.html_body_without_h1(F.col("html")).alias("v")).collect()[0]["v"]
+    assert got == ""
+
+
+def test_comment_opener_inside_script_does_not_eat_body(spark):
+    """'<!--' inside a script string is stripped WITH the script, not
+    treated as a comment start that swallows following markup."""
+    doc = '<script>var s = "<!--";</script><p>real text</p><!-- note -->'
+    df = spark.createDataFrame([(doc,)], "html string")
+    got = df.select(H.html_body_without_h1(F.col("html")).alias("v")).collect()[0]["v"]
+    assert got == "real text"

@@ -53,6 +53,11 @@ def test_search_cli_query_and_statistics(built, capsys):
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and st["total"]["pages"] > 0 and st["total"]["isIndexing"] is False
 
+    # stats-only invocation needs NO content source (code-review fix)
+    rc = search_cli.main(["--index", ix, "--statistics"])
+    st2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and st2["total"] == st["total"]
+
     # nothing-found surfaces as result=False + exit 1
     rc = search_cli.main(
         ["--index", ix, "--content-store", cs, "--query", "zzznotaword"]

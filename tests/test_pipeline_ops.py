@@ -160,17 +160,20 @@ def test_admission_filter(spark):
         (3, "!!!@@@###$$$%%%^^^&&&***"), # punct-heavy
         (4, "123456789012345678901234567890"),  # digit-heavy
         (5, "plain readable text with enough characters to pass"),
+        # non-Latin prose is TEXT, not punctuation (unicode-aware class)
+        (6, "Привет мир, это обычный текст достаточной длины."),
+        (7, "これは十分な長さの普通の日本語のテキストです。"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(r["doc_id"] for r in textops.admit_docs(docs).collect())
-    assert got == [0, 5]
+    assert got == [0, 5, 6, 7]
 
     src = spark.createDataFrame(
         [("r", f"p{i}", "c", "py", t) for i, t in rows],
         "repo string, path string, commit string, lang string, content string",
     )
     prepared = build.prepare_docs(src, n_shards=2, admission={})
-    assert prepared.count() == 2
+    assert prepared.count() == 4
 
 
 def test_pack_token_batches_two_phase_identical(spark):
