@@ -80,13 +80,23 @@ def html_body_without_h1(col: Column) -> Column:
     fall back to the whole-document text (jsoup normalizes a missing
     body the same way)."""
     c = _strip_noise(col)
-    # fall back to the whole document only when NO <body> tag exists:
-    # an explicitly empty <body></body> must yield "", not leak the
-    # head/title text into the body field (double-counting)
-    has_body = c.rlike(r"(?is)<body\b[^>]*>.*</body\s*>")
-    body = F.when(
-        has_body, F.regexp_extract(c, r"(?is)<body\b[^>]*>(.*)</body\s*>", 1)
-    ).otherwise(c)
+    # three tiers keyed on the OPENING tag (jsoup normalizes a missing
+    # close tag — an unclosed <body> must not leak <title>/head text
+    # into the body field at body weight):
+    #   closed <body>...</body>  -> inner text
+    #   unclosed <body>...       -> opening tag to end of document
+    #   no <body> tag at all     -> whole-document text
+    # An explicitly empty <body></body> yields "" (first tier), never
+    # the head fallback (double-counting).
+    has_close = c.rlike(r"(?is)<body\b[^>]*>.*</body\s*>")
+    has_open = c.rlike(r"(?is)<body\b")
+    body = (
+        F.when(
+            has_close, F.regexp_extract(c, r"(?is)<body\b[^>]*>(.*)</body\s*>", 1)
+        )
+        .when(has_open, F.regexp_extract(c, r"(?is)<body\b[^>]*>(.*)$", 1))
+        .otherwise(c)
+    )
     return _text(F.regexp_replace(body, _H1_BLOCK, " "))
 
 

@@ -99,18 +99,31 @@ def ngram_jaccard_pairs(
         import logging
 
         dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        # persist: the count() below AND the anti-join both consume this
-        # corpus-sized aggregation — uncached it would run twice
-        hot = dfs.filter(F.col("df") > max_shingle_df).persist()
-        n_hot = hot.count()
-        if n_hot:
+        # hot shingles are FEW by the cap's assumption (df > threshold
+        # boilerplate), so collect them driver-side and filter with a
+        # NOT-IN predicate: no persist to leak across calls (the round-2
+        # version persisted this frame and never unpersisted it), and
+        # the filter pushes into the shingle scan instead of an anti-join
+        # exchange. A pathological cap that yields a huge hot set falls
+        # back to a broadcast anti-join rather than a megabyte literal.
+        hot = [
+            r["shingle"]
+            for r in dfs.filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+            .collect()
+        ]
+        if hot:
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: dropping %d shingles with df > %d "
-                "from the shingle universe", n_hot, max_shingle_df,
+                "from the shingle universe", len(hot), max_shingle_df,
             )
-        # broadcast-able in practice (hot shingles are few); left_anti
-        # keeps the inverted join linear in the surviving postings
-        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+            if len(hot) <= 10_000:
+                sh = sh.filter(~F.col("shingle").isin(hot))
+            else:
+                hot_df = sh.sparkSession.createDataFrame(
+                    [(s,) for s in hot], "shingle string"
+                )
+                sh = sh.join(F.broadcast(hot_df), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

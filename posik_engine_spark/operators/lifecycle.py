@@ -234,6 +234,18 @@ class IndexBuilder:
             if not started:
                 with open(plan_path, "w") as f:
                     json.dump(plan, f)
+        elif os.path.isdir(os.path.join(out_dir, "_markers")):
+            # markers exist but no plan was recorded (hand-deleted or a
+            # pre-plan-era dir that slipped past the version gate):
+            # writing THIS builder's args as the plan would make a build
+            # produced under different shard_batches look forever
+            # in-flight (marker names would never match the fabricated
+            # plan). Refuse, same stance as a mismatched recorded plan.
+            raise ValueError(
+                f"IndexBuilder({out_dir}): build markers exist but "
+                f"_build_plan.json is missing; the original batching is "
+                f"unknowable — delete the directory and rebuild"
+            )
         else:
             with open(plan_path, "w") as f:
                 json.dump(plan, f)

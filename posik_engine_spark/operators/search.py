@@ -93,10 +93,15 @@ def _aqe_release(spark: SparkSession) -> None:
             return
         del _AQE_STATE[id(spark)]
         prev = st[0]
-    try:
-        spark.conf.set(_AQE_KEY, prev)
-    except Exception:
-        pass
+        # restore INSIDE the lock: a concurrent acquire on the same
+        # session running between the state deletion and the restore
+        # would capture the still-'false' value as its prev and the
+        # last-writer-loses bug the refcount exists to prevent comes
+        # back through the window (the set is cheap — driver-local conf)
+        try:
+            spark.conf.set(_AQE_KEY, prev)
+        except Exception:
+            pass
 
 
 class SearchEngine:
