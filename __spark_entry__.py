@@ -19,6 +19,7 @@ are engine-independent (see spec.py for the rank-identity rationale).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -313,17 +314,33 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, list(q0), k=10)
 
 
+_IVF_STORE_CACHE: dict[str, similarity.IVFStore] = {}
+
+
+def _ivf_store(spark, sf_dir) -> similarity.IVFStore:
+    """Memoized per sf_dir: save_ivf once (the materialized,
+    cid-partitioned assignment), probe it for every query."""
+    if sf_dir not in _IVF_STORE_CACHE:
+        import tempfile
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = os.path.join(tempfile.mkdtemp(prefix="ivf_store_"), "ivf")
+        similarity.save_ivf(emb, path, n_centroids=8, iters=0)
+        _IVF_STORE_CACHE[sf_dir] = similarity.IVFStore(spark, path)
+    return _IVF_STORE_CACHE[sf_dir]
+
+
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF top-k: md5-seeded deterministic centroids, nearest-centroid
-    assignment (rounded-cosine argmax, ties -> lowest cid), probe the 2
-    nearest partitions, exact cosine within. iters=0 keeps the whole
-    dataflow SQL-expressible; Lloyd refinement (iters>0) is
+    """IVF top-k via the PERSISTED index (similarity.save_ivf +
+    IVFStore): md5-seeded deterministic centroids, nearest-centroid
+    assignment (rounded-cosine argmax, ties -> lowest cid) materialized
+    partitioned by cid, probe the 2 nearest partitions (partition
+    pruning — no reassignment scan), exact cosine within. iters=0 keeps
+    the whole dataflow SQL-expressible; Lloyd refinement (iters>0) is
     pytest-verified against the exact baseline instead."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q0 = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    return similarity.ivf_topk(
-        emb, list(q0), k=10, n_centroids=8, nprobe=2, iters=0
-    )
+    return _ivf_store(spark, sf_dir).topk(list(q0), k=10, nprobe=2)
 
 
 def q_ann_lsh_pairs(spark, sf_dir):

@@ -280,6 +280,31 @@ def test_ivf_deterministic_and_probe_scan_is_partial(spark, clustered_emb):
     assert len(sizes) == 4 and all(v < 120 for v in sizes.values())
 
 
+def test_ivf_store_matches_one_shot_and_exact(spark, clustered_emb, tmp_path_factory):
+    """The persisted IVF index (save_ivf + IVFStore.topk) returns
+    exactly the one-shot ivf_topk result — same centroids, same
+    assignment, same probes — and, on separable clusters, the exact
+    brute-force top-k; probe_cids returns nprobe distinct partitions."""
+    path = str(tmp_path_factory.mktemp("ivf")) + "/ivf"
+    similarity.save_ivf(clustered_emb, path, n_centroids=4, iters=2)
+    store = similarity.IVFStore(spark, path)
+    q = list(clustered_emb.filter("vec_id = 5").collect()[0]["embedding"])
+
+    probes = store.probe_cids(q, nprobe=2)
+    assert len(probes) == len(set(probes)) == 2
+
+    got = [(r["vec_id"], r["cosine"]) for r in store.topk(q, k=10, nprobe=2).collect()]
+    one_shot = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ivf_topk(
+            clustered_emb, q, k=10, n_centroids=4, nprobe=2, iters=2
+        ).collect()
+    ]
+    assert got == one_shot
+    exact = [r["vec_id"] for r in similarity.cosine_topk(clustered_emb, q, k=10).collect()]
+    assert [v for v, _ in got] == exact
+
+
 def test_hyperplane_lsh_subset_of_exact_cosine(spark):
     import numpy as np
 
