@@ -45,6 +45,11 @@ SHINGLE_N = 3
 # defaults are production-scale (dedup.DEFAULT_N_PERMS/BANDS = 128/16)
 FIXTURE_N_PERMS = 6
 FIXTURE_BANDS = 3
+# fixture-scale hyperplane-LSH banding (library defaults are 64 planes
+# / 4 bands + a bucket-size cap — corpus-scale occupancy; at 500
+# vectors with tau=0.25 they would generate almost no candidates)
+FIXTURE_LSH_PLANES = 8
+FIXTURE_LSH_BANDS = 2
 
 # digit -> stop-word path segments: unique per doc_id but tokenizes to
 # NOTHING (all stop words), so the engine's path field contributes zero
@@ -344,8 +349,15 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_ann_lsh_pairs(spark, sf_dir):
+    """Fixture-scale banding (8 planes / 2 bands, no bucket cap) passed
+    EXPLICITLY — the q_dedup_minhash_lsh pattern; the oracle mirrors the
+    same 8/2 and a cap would make the result blocking-dependent."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.hyperplane_lsh_pairs(emb, tau=COSINE_TAU, dim=64)
+    return similarity.hyperplane_lsh_pairs(
+        emb, tau=COSINE_TAU, dim=64,
+        n_planes=FIXTURE_LSH_PLANES, bands=FIXTURE_LSH_BANDS,
+        max_bucket_size=None,
+    )
 
 
 def q_sessionize(spark, sf_dir):
@@ -665,7 +677,7 @@ ORDER BY cosine DESC, a.vec_id ASC LIMIT {topk}
 
 
 def _sql_ann_lsh() -> str:
-    n_planes, bands = similarity.DEFAULT_N_PLANES, similarity.DEFAULT_LSH_BANDS
+    n_planes, bands = FIXTURE_LSH_PLANES, FIXTURE_LSH_BANDS
     r = n_planes // bands
     ws = similarity.plane_weights(n_planes, 64)
     # per-plane dot product as an explicit weighted sum over dims
