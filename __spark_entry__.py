@@ -136,6 +136,18 @@ def q_a2_per_source(spark, sf_dir):
     )
 
 
+def q_a2_per_source_lemmas(spark, sf_dir):
+    """Per-source distinct-term counts — the reference's per-site lemma
+    statistic (LemmaRepository.java:13, Detailed.java:19) that
+    SearchEngine.statistics() surfaces per repo."""
+    return (
+        _docs(spark, sf_dir)
+        .select("source", F.explode(tokenize_expr("text")).alias("term"))
+        .groupBy("source")
+        .agg(F.countDistinct("term").cast("long").alias("n_lemmas"))
+    )
+
+
 def q_doc_sha256(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
@@ -418,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_totals": q_a1_totals,
         "a2_per_source": q_a2_per_source,
+        "a2_per_source_lemmas": q_a2_per_source_lemmas,
         "doc_sha256": q_doc_sha256,
         "term_stats": q_term_stats,
         "theta_filter": q_theta_filter,
@@ -814,6 +827,12 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT term) FROM ({toks}))::BIGINT AS n_terms
         """,
         "a2_per_source": "SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source",
+        "a2_per_source_lemmas": f"""
+            SELECT source, count(DISTINCT term)::BIGINT AS n_lemmas
+            FROM (SELECT source, unnest({tokenize_sql_duckdb('text')}) AS term
+                  FROM documents)
+            GROUP BY source
+        """,
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "term_stats": f"""
             SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ctf

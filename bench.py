@@ -107,7 +107,7 @@ def run_build(spark, sf_dir: str, out_dir: str, n_shards: int, replicate: int = 
     return ix, docs, build_sec
 
 
-def run_queries(spark, ix, docs) -> dict[str, float]:
+def run_queries(spark, ix, docs) -> tuple[dict[str, float], dict[str, int]]:
     from posik_engine_spark.operators.search import SearchEngine
 
     engine = SearchEngine(spark, ix, docs)
@@ -119,7 +119,35 @@ def run_queries(spark, ix, docs) -> dict[str, float]:
         resp = engine.search(q)
         _ = resp.hits  # already driver-side; snippets included
         timings[name] = time.time() - t0
-    return timings
+    return timings, wand_effectiveness(engine)
+
+
+def wand_effectiveness(engine) -> dict[str, int]:
+    """Aggregate block-max-WAND pruning counters over the query suite —
+    tracked across rounds next to the wall clock so effectiveness (not
+    just latency) regressions show up. ``postings_total`` is what a
+    no-pruning engine would decode+score (every posting of every
+    surviving query term); ``postings_decoded`` shows block-range
+    pruning, ``candidates_scored`` vs ``candidates`` shows the
+    descending-ub early-termination cut."""
+    from posik_engine_spark.functions.tokenizer import tokenize_py
+    from posik_engine_spark.operators.wand import wand_topk_driver
+
+    agg: dict[str, int] = {}
+    for q in BENCH_QUERIES.values():
+        terms = engine.filter_query_terms(tokenize_py(q))
+        info = engine._term_info(terms)
+        terms = [t for t in terms if t in info]  # drop OOV (relax analog)
+        if not terms:
+            continue
+        wand_topk_driver(
+            engine.ix,
+            {t: info[t][0] for t in terms},
+            {t: info[t][1] for t in terms},
+            k=20,
+            diag=agg,
+        )
+    return agg
 
 
 def _scale_worker(level: int, corpus_path: str, n_shards: int) -> int:
@@ -225,7 +253,8 @@ def scaling_run(
 
 
 def write_baseline_md(
-    sf_dir: str, scale: dict, queries: dict[str, float], cpus: int = 32
+    sf_dir: str, scale: dict, queries: dict[str, float], cpus: int = 32,
+    wand: dict | None = None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = scale["low"], scale["high"]
@@ -275,6 +304,26 @@ PostgreSQL — /root/reference/readme.md:239)
             + "\n".join(f"| {k} | {v:.3f} |" for k, v in queries.items())
             + "\n"
         )
+        if wand:
+            total = max(1, wand.get("postings_total", 0))
+            f.write(
+                f"""
+## Block-max WAND effectiveness (same suite, k=20)
+
+Pruning counters aggregated over the suite — what a no-pruning engine
+would decode+score is `postings_total`; block-range pruning shows in
+`postings_decoded`, the descending-ub early-termination cut in
+`candidates_scored` (tests/test_wand_pruning.py bounds both on an
+adversarial shard).
+
+| counter | value | /postings_total |
+|---|---|---|
+| postings_total | {wand.get('postings_total', 0)} | 1.000 |
+| postings_decoded | {wand.get('postings_decoded', 0)} | {wand.get('postings_decoded', 0) / total:.3f} |
+| candidates (AND-survivors) | {wand.get('candidates', 0)} | {wand.get('candidates', 0) / total:.3f} |
+| candidates_scored | {wand.get('candidates_scored', 0)} | {wand.get('candidates_scored', 0) / total:.3f} |
+"""
+            )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -312,7 +361,7 @@ def main(argv: list[str] | None = None) -> int:
         ).count()
         n_shards = max(4, min(args.cpus, n_docs_src // 500))
         ix, docs, build_sec = run_build(spark, args.sf_dir, out, n_shards=n_shards)
-        timings = run_queries(spark, ix, docs)
+        timings, wand_diag = run_queries(spark, ix, docs)
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
@@ -329,6 +378,17 @@ def main(argv: list[str] | None = None) -> int:
         "n_docs": ix.meta.n_docs,
         "files_per_sec": round(ix.meta.n_docs / build_sec, 2),
         "query_p50_sec": round(p50, 4),
+        "wand": {
+            **wand_diag,
+            "decode_ratio": round(
+                wand_diag.get("postings_decoded", 0)
+                / max(1, wand_diag.get("postings_total", 0)), 4,
+            ),
+            "score_ratio": round(
+                wand_diag.get("candidates_scored", 0)
+                / max(1, wand_diag.get("postings_total", 0)), 4,
+            ),
+        },
     }
 
     if args.scaling:
@@ -337,7 +397,7 @@ def main(argv: list[str] | None = None) -> int:
             runs=args.runs, inflate=args.inflate,
         )
         result["scaling_efficiency"] = round(scale["efficiency"], 4)
-        write_baseline_md(args.sf_dir, scale, timings, cpus=args.cpus)
+        write_baseline_md(args.sf_dir, scale, timings, cpus=args.cpus, wand=wand_diag)
 
     print(json.dumps(result))
     return 0

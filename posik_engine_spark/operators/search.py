@@ -394,34 +394,102 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------- A1-A4
+    def _per_repo_lemmas(self) -> dict[str, int]:
+        """repo -> distinct term count (reference per-site lemma count,
+        repositories/LemmaRepository.java:13 consumed by
+        StatisticsService.java:33-39).
+
+        Index-dir engines join the on-disk tf table with the doc
+        registry — a full columnar pass over (doc_id, term), which is
+        the right cost for an admin endpoint (the reference's
+        countBySiteId is the same corpus-wide aggregate). In-memory
+        engines re-derive terms from the persisted content (path +
+        content fields through the JVM tokenizer — exactly the build
+        tokenizer's output, T1's four-form agreement)."""
+        import os
+
+        from posik_engine_spark.functions.tokenizer import tokenize_expr
+
+        # builder dirs carry the tf table; bare save_index dirs don't —
+        # fall through to the content route (or report none) for those
+        if self._index_dir is not None and os.path.isdir(
+            os.path.join(self._index_dir, "tf")
+        ):
+            tf = self.spark.read.parquet(os.path.join(self._index_dir, "tf"))
+            rows = (
+                tf.select("doc_id", "term")
+                .join(self.ix.doc_stats.select("doc_id", "repo"), "doc_id")
+                .groupBy("repo")
+                .agg(F.countDistinct("term").alias("n"))
+                .collect()
+            )
+        elif self._content is not None:
+            toks = F.explode(
+                F.concat(tokenize_expr("path"), tokenize_expr("content"))
+            ).alias("term")
+            rows = (
+                self._content.select("repo", toks)
+                .groupBy("repo")
+                .agg(F.countDistinct("term").alias("n"))
+                .collect()
+            )
+        else:  # statistics-only engine without a builder dir
+            return {}
+        return {r["repo"]: int(r["n"]) for r in rows}
+
     def statistics(self) -> dict:
         """Analog of GET /api/statistics
         (/root/reference/.../service/StatisticsService.java:23-42).
 
-        isIndexing is LIVE when the engine serves a builder dir: it
-        re-reads the builder's markers/intent on every call (reference
+        ``detailed`` carries the reference Detailed fields
+        (dto/statistics/Detailed.java:13-19): url, name, status,
+        statusTime, error, pages, lemmas. Status/statusTime/error come
+        from the builder's lineage log LIVE on every call (reference
         semantics — StatisticsService consults the site status table,
         StatisticsService.java:25), so a concurrent build/incremental
-        against the same dir flips it. In-memory engines (from_docs)
-        have no builder state and report False."""
+        or a failed attempt against the same dir flips them. Deliberate
+        deviation: this engine's builds are corpus-wide, not per-site
+        crawls, so the status triple is shared by every repo and name
+        == url == the repo identifier (repos have no display name).
+        In-memory engines (from_docs) have no builder state: INDEXED,
+        no timestamp, isIndexing False."""
         per_repo = (
             self.ix.doc_stats.groupBy("repo")
             .count()
             .orderBy("repo")
             .collect()
         )
-        from posik_engine_spark.operators.lifecycle import is_indexing
+        from posik_engine_spark.operators.lifecycle import build_status, is_indexing
 
+        st = build_status(self._index_dir)
+        lemmas = self._per_repo_lemmas()
         return {
             "total": {
                 "sites": len(per_repo),
                 "pages": self.ix.meta.n_docs,
-                "lemmas": self.ix.term_stats.count(),
+                # complete driver dictionaries answer from memory — no
+                # Spark job per statistics() call (round-2 minor note)
+                "lemmas": (
+                    len(self._term_cache)
+                    if self._dict_complete
+                    else self.ix.term_stats.count()
+                ),
                 "isIndexing": (
                     is_indexing(self._index_dir)
                     if self._index_dir is not None
                     else False
                 ),
             },
-            "detailed": [{"url": r["repo"], "pages": r["count"]} for r in per_repo],
+            "detailed": [
+                {
+                    "url": r["repo"],
+                    "name": r["repo"],
+                    "status": st["status"],
+                    "statusTime": st["status_time"],
+                    "error": st["error"],
+                    "pages": r["count"],
+                    "lemmas": lemmas.get(r["repo"], 0),
+                }
+                for r in per_repo
+            ],
         }

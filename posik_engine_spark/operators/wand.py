@@ -197,6 +197,7 @@ def wand_topk_driver(
     term_dfs: dict[str, int],
     k: int,
     repos: list[str] | None = None,
+    diag: dict | None = None,
 ) -> list:
     """Driver-local top-k over the query terms' collected blocks —
     result-identical to wand_topk (same shard_topk kernel per shard,
@@ -229,6 +230,14 @@ def wand_topk_driver(
     if not rows:
         return []
     bpdf = pd.DataFrame([r.asDict() for r in rows])
+    if diag is not None:
+        # postings_total = what a no-pruning engine would decode+score
+        # (every posting of every query term); per-shard kernels add
+        # postings_decoded / candidates / candidates_scored below —
+        # the across-rounds WAND-effectiveness counters (bench.py)
+        diag["postings_total"] = diag.get("postings_total", 0) + int(
+            bpdf["n_docs"].sum()
+        )
     stats_by_shard: dict[int, pd.DataFrame] = {}
     if repos is not None:
         srows = (
@@ -248,7 +257,13 @@ def wand_topk_driver(
                 continue  # scoped repos have no docs in this shard
         else:
             spdf = None
-        parts.append(shard_topk(pdf, spdf, terms, idfs, avgdl, k, repos=repos))
+        sdiag: dict | None = {} if diag is not None else None
+        parts.append(
+            shard_topk(pdf, spdf, terms, idfs, avgdl, k, repos=repos, diag=sdiag)
+        )
+        if diag is not None:
+            for key in ("postings_decoded", "candidates", "candidates_scored"):
+                diag[key] = diag.get(key, 0) + int(sdiag.get(key, 0))
     if not parts:
         return []
     merged = pd.concat(parts, ignore_index=True)

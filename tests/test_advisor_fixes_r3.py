@@ -87,6 +87,43 @@ def test_unclosed_body_does_not_leak_title(spark):
     assert got["u4"] == ("T4", "")
 
 
+def test_driver_cache_eviction_rank_identity_over_many_queries(spark, monkeypatch):
+    """Round-2 VERDICT item 6: with the driver dictionary disabled and
+    the bounded lookup cache forced to evict repeatedly (tiny
+    DRIVER_DICT_MAX_TERMS, many distinct query terms, two passes so
+    every query also replays against a post-eviction cache), every
+    search stays rank-identical to a complete-dictionary engine — the
+    r1 ADVICE bug (eviction dropping current-query terms) lived exactly
+    here; pin it forever."""
+    from posik_engine_spark import spec
+    from posik_engine_spark.operators.search import SearchEngine
+
+    docs = corpus.synthetic_docs(spark, 80, seed=71).cache()
+    with SearchEngine.from_docs(spark, docs, n_shards=4) as ref:
+        assert ref._dict_complete
+        vocab = [
+            r["term"]
+            for r in ref.ix.term_stats.orderBy(F.desc("ctf"), "term")
+            .limit(12)
+            .collect()
+        ]
+        queries = [f"{vocab[i]} {vocab[(i + 5) % len(vocab)]}" for i in range(12)]
+        expected = {
+            q: [(h[0], h[6]) for h in ref.search(q, limit=10).hits] for q in queries
+        }
+
+        monkeypatch.setattr(spec, "DRIVER_DICT_MAX_TERMS", 2)
+        with SearchEngine.from_docs(spark, docs, n_shards=4) as eng:
+            assert not eng._dict_complete
+            for _pass in range(2):
+                for q in queries:
+                    got = [(h[0], h[6]) for h in eng.search(q, limit=10).hits]
+                    assert got == expected[q], (q, _pass)
+                    # the lookup cache stays bounded: at most the bound
+                    # plus the current query's own terms survive a call
+                    assert len(eng._term_cache) <= 2 + 4, q
+
+
 def test_builder_refuses_markers_without_plan(spark, tmp_path):
     docs = corpus.synthetic_docs(spark, 20, seed=23).cache()
     out = str(tmp_path / "ix")

@@ -131,3 +131,28 @@ def test_pruned_equals_unpruned_topk():
     assert [(int(a), float(b)) for a, b in got] == [
         (int(a), float(b)) for a, b in expect
     ]
+
+
+def test_driver_wand_diag_on_real_index(spark):
+    """The serving hybrid surfaces aggregated pruning counters end to
+    end (bench.py's across-rounds WAND-effectiveness artifact): totals
+    are consistent and bounded by the no-pruning posting volume."""
+    from posik_engine_spark import corpus
+    from posik_engine_spark.operators.index import build_index
+
+    docs = corpus.synthetic_docs(spark, 120, seed=73)
+    ix = build_index(docs, n_shards=4, cache=False)
+    terms = [
+        r["term"]
+        for r in ix.term_stats.orderBy("df", ascending=False).limit(2).collect()
+    ]
+    info = ix.term_info(terms)
+    diag: dict = {}
+    rows = wand.wand_topk_driver(
+        ix, {t: info[t][0] for t in terms}, {t: info[t][1] for t in terms},
+        k=10, diag=diag,
+    )
+    assert rows
+    assert diag["postings_total"] >= diag["postings_decoded"] > 0
+    assert diag["postings_decoded"] >= diag["candidates"] >= diag["candidates_scored"]
+    assert diag["candidates_scored"] > 0
