@@ -140,4 +140,9 @@ def html_to_docs(
         F.substring(F.sha2(c.cast("binary"), 256), 1, 8).alias("commit"),
         F.lit("html").alias("lang"),
         html_body_without_h1(c).alias("content"),
+        # display title for serving (reference PageDtoAdapter.java:14-21
+        # shows the page's real <title>): rides the docs frame as an
+        # EXTRA column — the build pipeline projects it away, the
+        # content store / SearchEngine thread it through to search hits
+        html_title(c).alias("title"),
     )

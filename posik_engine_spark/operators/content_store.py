@@ -31,13 +31,18 @@ DEFAULT_CONTENT_BUCKETS = 64
 def save_content_store(
     docs: DataFrame, path: str, n_buckets: int = DEFAULT_CONTENT_BUCKETS
 ) -> None:
-    """Write (doc_id, repo, path, content) bucketed by pmod(doc_id)
-    and doc_id-sorted within files. ``docs`` is the input-hint-shaped
-    corpus (repo, path, commit, lang, content)."""
+    """Write (doc_id, repo, path, content[, title]) bucketed by
+    pmod(doc_id) and doc_id-sorted within files. ``docs`` is the
+    input-hint-shaped corpus (repo, path, commit, lang, content); an
+    optional ``title`` column (HTML corpora via html_to_docs) is
+    carried through so search hits can surface the real page title
+    (reference PageDtoAdapter.java:14-21)."""
+    cols = ["repo", "path", "content"] + (
+        ["title"] if "title" in docs.columns else []
+    )
     d = (
         docs.select(
-            F.xxhash64("repo", "path", "commit").alias("doc_id"),
-            "repo", "path", "content",
+            F.xxhash64("repo", "path", "commit").alias("doc_id"), *cols
         )
         .dropDuplicates(["doc_id"])
         .withColumn("bucket", F.pmod(F.col("doc_id"), F.lit(n_buckets)).cast("int"))
@@ -68,9 +73,12 @@ class ContentStore:
         sorted min/max stats."""
         # python % matches Spark pmod for positive modulus (nonnegative)
         buckets = sorted({i % self.n_buckets for i in ids})
+        cols = ["doc_id", "repo", "path", "content"] + (
+            ["title"] if "title" in self._df.columns else []
+        )
         return self._df.filter(
             F.col("bucket").isin(buckets) & F.col("doc_id").isin(list(ids))
-        ).select("doc_id", "repo", "path", "content")
+        ).select(*cols)
 
     def fetch(self, ids: list[int]) -> dict[int, Row]:
         if not ids:

@@ -156,9 +156,12 @@ class SearchEngine:
         # the scoring plan — column pruning by construction)
         self._content = None
         if self._store is None and docs is not None:
+            # optional display-title column (HTML corpora): carried to
+            # the snippet stage, never into the scoring plan
+            extra = ["title"] if "title" in docs.columns else []
             self._content = docs.select(
                 F.xxhash64("repo", "path", "commit").alias("doc_id"),
-                "repo", "path", "content",
+                "repo", "path", "content", *extra,
             )
             if optimize_for_queries:
                 self._content = self._content.persist()
@@ -380,12 +383,18 @@ class SearchEngine:
         out = []
         for r in window:
             c = content_rows.get(r["doc_id"])
+            # real document title when the corpus carries one (HTML via
+            # html_to_docs -> content store / docs frame, reference
+            # PageDtoAdapter.java:14-21); path-derived fallback otherwise
+            stored_title = (
+                c["title"] if c is not None and "title" in c.__fields__ else None
+            )
             out.append(
                 (
                     r["doc_id"],
                     c["repo"] if c else "",
                     c["path"] if c else "",
-                    title_for_path(c["path"] if c else ""),
+                    stored_title or title_for_path(c["path"] if c else ""),
                     build_snippet(c["content"] if c else "", terms),
                     r["score"] / max_rel,
                     r["score"],

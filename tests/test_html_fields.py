@@ -89,3 +89,45 @@ def test_comment_opener_inside_script_does_not_eat_body(spark):
     df = spark.createDataFrame([(doc,)], "html string")
     got = df.select(H.html_body_without_h1(F.col("html")).alias("v")).collect()[0]["v"]
     assert got == "real text"
+
+
+def test_html_title_served_end_to_end(spark, tmp_path):
+    """Round-2 VERDICT item 8: search hits over an HTML corpus surface
+    the page's REAL <title> (reference PageDtoAdapter.java:14-21), not
+    the path-derived fallback — through both the in-memory docs route
+    and the bucketed content store."""
+    from posik_engine_spark.operators.content_store import save_content_store
+    from posik_engine_spark.operators.index import build_index, save_index
+    from posik_engine_spark.operators.search import SearchEngine
+
+    pages = [
+        ("siteA", "https://a.example/zebra",
+         "<html><head><title>Zebra Compendium</title></head>"
+         "<body><h1>Stripes</h1><p>zebra gallop herd savanna</p></body></html>"),
+        ("siteA", "https://a.example/other",
+         "<html><head><title>Other Page</title></head>"
+         "<body><p>plain filler words here</p></body></html>"),
+    ]
+    docs = H.html_to_docs(
+        spark.createDataFrame(pages, "site string, url string, html string")
+    ).cache()
+    assert "title" in docs.columns
+
+    # in-memory route
+    with SearchEngine.from_docs(spark, docs, n_shards=2) as eng:
+        hit = eng.search("zebra gallop").hits[0]
+        assert hit[3] == "Zebra Compendium"
+
+    # content-store route
+    ix_dir, cs_dir = str(tmp_path / "ix"), str(tmp_path / "cs")
+    save_index(build_index(docs, n_shards=2, cache=False), ix_dir)
+    save_content_store(docs, cs_dir, n_buckets=4)
+    with SearchEngine.from_index_dir(spark, ix_dir, content_dir=cs_dir) as eng2:
+        hit = eng2.search("zebra gallop").hits[0]
+        assert hit[3] == "Zebra Compendium"
+
+    # corpora WITHOUT a title column keep the path-derived fallback
+    plain = docs.drop("title")
+    with SearchEngine.from_docs(spark, plain, n_shards=2) as eng3:
+        hit = eng3.search("zebra gallop").hits[0]
+        assert hit[3] != "" and hit[3] != "Zebra Compendium"
