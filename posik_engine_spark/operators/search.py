@@ -432,12 +432,13 @@ class SearchEngine:
                 .agg(F.countDistinct("term").alias("n"))
                 .collect()
             )
-        elif self._content is not None:
+        elif self._content is not None or self._store is not None:
+            src = self._content if self._content is not None else self._store._df
             toks = F.explode(
                 F.concat(tokenize_expr("path"), tokenize_expr("content"))
             ).alias("term")
             rows = (
-                self._content.select("repo", toks)
+                src.select("repo", toks)
                 .groupBy("repo")
                 .agg(F.countDistinct("term").alias("n"))
                 .collect()
