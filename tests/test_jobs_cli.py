@@ -79,3 +79,42 @@ def test_stream_ingest_available_now(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and out["n_docs"] > 0
     assert out["counters"]["docs_tokenized"] == out["n_docs"]
+
+
+def test_ann_index_cli_build_and_query(spark, tmp_path, capsys):
+    """jobs/ann_index.py: build the persisted IVF index, then probe it —
+    the query result equals IVFStore.topk directly (and therefore the
+    one-shot ivf_topk by the store equivalence test)."""
+    from posik_engine_spark.jobs import ann_index
+    from posik_engine_spark.operators import similarity
+
+    emb_path = str(tmp_path / "emb")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").write.parquet(
+        emb_path
+    )
+    out = str(tmp_path / "ivf")
+    rc = ann_index.main(
+        ["build", "--embeddings", emb_path, "--out", out,
+         "--n-centroids", "8", "--iters", "0"]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_centroids"] == 8 and rep["n_vectors"] > 0
+
+    rc = ann_index.main(
+        ["query", "--index", out, "--vec-id", "0", "--embeddings", emb_path,
+         "--k", "5", "--nprobe", "2"]
+    )
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(got["hits"]) == 5 and len(got["probed_cids"]) == 2
+    assert got["hits"][0]["vec_id"] == 0 and got["hits"][0]["cosine"] == 1.0
+
+    store = similarity.IVFStore(spark, out)
+    q0 = [float(x) for x in spark.read.parquet(emb_path)
+          .filter("vec_id = 0").collect()[0]["embedding"]]
+    expect = [
+        {"vec_id": int(r["vec_id"]), "cosine": float(r["cosine"])}
+        for r in store.topk(q0, k=5, nprobe=2).collect()
+    ]
+    assert got["hits"] == expect
