@@ -291,27 +291,51 @@ def ivf_refine_centroids(
     return centroids
 
 
-def _probe_cids(
-    spark: SparkSession, centroids, query_vec: list[float], nprobe: int
-) -> list[int]:
-    """cids of the nprobe centroids nearest the query.
+def round6_half_up(x: float) -> float:
+    """Driver-side float-exact mirror of Spark's ``F.round(col, 6)`` on
+    doubles: Spark evaluates BigDecimal.valueOf(x).setScale(6, HALF_UP),
+    and BigDecimal.valueOf uses the SHORTEST decimal representation —
+    exactly what Python's repr(float) produces — with HALF_UP = ties
+    away from zero on both sides. (Plain python round() is banker's
+    rounding and does NOT match.) Equality with the Spark expr is
+    pinned over the whole testdata in tests/test_pipeline_ops.py."""
+    from decimal import ROUND_HALF_UP, Decimal
 
-    Runs as a tiny Spark job over the k centroid rows so its rounding
-    matches the assignment exprs exactly (python round() is banker's
-    rounding — NOT the same as Spark/DuckDB HALF_UP)."""
-    cdf = spark.createDataFrame(
-        [(cid, [float(x) for x in v]) for cid, v in centroids],
-        "cid int, cvec array<double>",
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
     )
-    return [
-        int(r["cid"])
-        for r in cdf.select(
-            "cid", F.round(cosine_expr(F.col("cvec"), _lit_vec(query_vec)), 6).alias("s")
-        )
-        .orderBy(F.desc("s"), F.asc("cid"))
-        .limit(nprobe)
-        .collect()
-    ]
+
+
+def cosine_py(a, b) -> float:
+    """Driver-side float-exact mirror of ``cosine_expr``: the same
+    SEQUENTIAL left-fold f64 sums (zip order), IEEE multiply/sqrt/
+    divide — bit-identical to the JVM evaluation, which is why probe
+    selection can run without a Spark job (see IVFStore.probe_cids)."""
+    import math
+
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    na = 0.0
+    for x in a:
+        na = na + float(x) * float(x)
+    nb = 0.0
+    for y in b:
+        nb = nb + float(y) * float(y)
+    return acc / (math.sqrt(na) * math.sqrt(nb))
+
+
+def _probe_cids(centroids, query_vec: list[float], nprobe: int) -> list[int]:
+    """cids of the nprobe centroids nearest the query — computed on the
+    driver over the k centroid rows (no Spark job on the query path;
+    the serving-latency analog of the driver-held term dictionary).
+    Rounding/ordering are float-exact mirrors of the Spark/DuckDB
+    exprs: round6_half_up(cosine_py(...)) == F.round(cosine_expr(...), 6)
+    bit-for-bit (pytest-pinned), ties -> lowest cid."""
+    scored = sorted(
+        (-round6_half_up(cosine_py(v, query_vec)), cid) for cid, v in centroids
+    )
+    return [cid for _, cid in scored[:nprobe]]
 
 
 def ivf_topk(
@@ -333,11 +357,10 @@ def ivf_topk(
     cost O(n * k_centroids * dim), MORE than brute force). A query
     workload materializes the assignment once with ``save_ivf`` and
     probes it through ``IVFStore`` — the round-2 judge's top finding."""
-    spark = emb.sparkSession
     cents = ivf_seed_centroids(emb, n_centroids, vec_col)
     if iters:
         cents = ivf_refine_centroids(emb, cents, iters, vec_col)
-    probes = _probe_cids(spark, cents, query_vec, nprobe)
+    probes = _probe_cids(cents, query_vec, nprobe)
     assigned = ivf_assign(emb, cents, vec_col)
     return (
         assigned.filter(F.col("cid").isin(probes))
@@ -411,7 +434,7 @@ class IVFStore:
         self._df = spark.read.parquet(path)
 
     def probe_cids(self, query_vec: list[float], nprobe: int = DEFAULT_NPROBE) -> list[int]:
-        return _probe_cids(self.spark, self.centroids, query_vec, nprobe)
+        return _probe_cids(self.centroids, query_vec, nprobe)
 
     def topk(
         self, query_vec: list[float], k: int, nprobe: int = DEFAULT_NPROBE

@@ -390,6 +390,74 @@ def test_lsh_production_defaults_and_bucket_cap(spark, caplog):
     assert cand <= buckets * (6 * 5) // 2
 
 
+def test_local_probe_math_matches_spark_bit_for_bit(spark):
+    """Probe selection runs driver-side with NO Spark job (IVF serving
+    must not pay a fixed job overhead per query); its math must be a
+    bit-exact mirror of the Spark exprs:
+    round6_half_up(cosine_py(a, b)) == F.round(cosine_expr(a, b), 6)
+    over the whole 500-vector testdata, adversarial rounding literals,
+    and the probe RANKING itself."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.orderBy("vec_id").collect()
+    q = [float(x) for x in rows[3]["embedding"]]
+
+    got_spark = {
+        r["vec_id"]: r["c"]
+        for r in emb.select(
+            "vec_id",
+            F.round(
+                similarity.cosine_expr(
+                    F.col("embedding"), F.array(*[F.lit(x) for x in q])
+                ),
+                6,
+            ).alias("c"),
+        ).collect()
+    }
+    for r in rows:
+        local = similarity.round6_half_up(
+            similarity.cosine_py([float(x) for x in r["embedding"]], q)
+        )
+        assert local == got_spark[r["vec_id"]], r["vec_id"]
+
+    # adversarial rounding literals: exact .5 ties both signs, values
+    # whose f64 lies just under/over the tie, tiny exponents
+    vals = [0.1234565, -0.1234565, 2.5e-7, -2.5e-7, 0.9999995,
+            -0.9999995, 1.0000004999999, 6.1e-7, -6.1e-7, 0.6781815]
+    spark_rounded = (
+        spark.createDataFrame([(v,) for v in vals], "v double")
+        .select(F.round("v", 6).alias("r"))
+        .collect()
+    )
+    for v, r in zip(vals, spark_rounded):
+        assert similarity.round6_half_up(v) == r["r"], v
+
+    # probe ranking equals the (retired) tiny-Spark-job selection
+    cents = similarity.ivf_refine_centroids(
+        emb, similarity.ivf_seed_centroids(emb, 8), iters=2
+    )
+    cdf = spark.createDataFrame(
+        [(cid, [float(x) for x in v]) for cid, v in cents],
+        "cid int, cvec array<double>",
+    )
+    for probe_q in ([float(x) for x in rows[0]["embedding"]], q):
+        via_spark = [
+            int(r["cid"])
+            for r in cdf.select(
+                "cid",
+                F.round(
+                    similarity.cosine_expr(
+                        F.col("cvec"), F.array(*[F.lit(x) for x in probe_q])
+                    ),
+                    6,
+                ).alias("s"),
+            )
+            .orderBy(F.desc("s"), F.asc("cid"))
+            .limit(4)
+            .collect()
+        ]
+        assert similarity._probe_cids(cents, probe_q, 4) == via_spark
+
+
 def test_cosine_topk_self_is_first(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q0 = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
