@@ -173,6 +173,15 @@ class SearchEngine:
         # bounded lookup cache over distinct queried terms.
         self._term_cache: dict[str, tuple[float, int, int] | None] = {}
         self._dict_complete = False
+        # bounded LRU over collected compressed block rows, keyed by
+        # term (spec.DRIVER_BLOCK_CACHE_MAX_POSTINGS budget): hot terms
+        # of a Zipfian workload serve the driver-WAND path with zero
+        # index-scan jobs. Same staleness model as the persisted ix
+        # frames (an engine serves one index snapshot).
+        from collections import OrderedDict
+
+        self._block_cache: OrderedDict[str, list] = OrderedDict()
+        self._block_cache_postings = 0
         if self.ix.term_stats.count() <= spec.DRIVER_DICT_MAX_TERMS:
             for r in self.ix.term_stats.collect():
                 self._term_cache[r["term"]] = (
@@ -271,8 +280,38 @@ class SearchEngine:
         # gate does not bound (a rare-term query against a 100M-doc repo
         # must not materialize that repo's doc table on the coordinator).
         if repos is None and sum(dfs.values()) <= spec.DRIVER_WAND_MAX_POSTINGS:
-            return wand_topk_driver(self.ix, idfs, dfs, k)
+            rows = self._blocks_for_terms(terms)
+            return wand_topk_driver(self.ix, idfs, dfs, k, rows=rows)
         return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
+
+    def _blocks_for_terms(self, terms: list[str]) -> list:
+        """Collected block rows for the query terms, through the
+        bounded per-term LRU: misses run ONE pruned scan for all
+        missing terms; hits cost nothing. Eviction is oldest-first by
+        last use and NEVER evicts the current query's terms (the r1
+        eviction-drops-current-terms bug class, pinned by pytest)."""
+        current = set(terms)
+        missing = [t for t in terms if t not in self._block_cache]
+        if missing:
+            fetched = self.ix.blocks.filter(F.col("term").isin(missing)).collect()
+            by_term: dict[str, list] = {t: [] for t in missing}
+            for r in fetched:
+                by_term[r["term"]].append(r)
+            for t in missing:
+                self._block_cache[t] = by_term[t]
+                self._block_cache_postings += sum(r["n_docs"] for r in by_term[t])
+            while (
+                self._block_cache_postings > spec.DRIVER_BLOCK_CACHE_MAX_POSTINGS
+                and any(t not in current for t in self._block_cache)
+            ):
+                victim = next(t for t in self._block_cache if t not in current)
+                dropped = self._block_cache.pop(victim)
+                self._block_cache_postings -= sum(r["n_docs"] for r in dropped)
+        out: list = []
+        for t in terms:
+            self._block_cache.move_to_end(t)  # LRU recency
+            out.extend(self._block_cache[t])
+        return out
 
     def close(self) -> None:
         """Release serving state: restore the session conf mutated in
@@ -285,6 +324,8 @@ class SearchEngine:
                 self._aqe_finalizer.detach()
                 self._aqe_finalizer = None
             _aqe_release(self.spark)
+        self._block_cache.clear()
+        self._block_cache_postings = 0
         for df in (
             self.ix.blocks, self.ix.doc_stats, self.ix.term_stats, self._content
         ):

@@ -198,6 +198,7 @@ def wand_topk_driver(
     k: int,
     repos: list[str] | None = None,
     diag: dict | None = None,
+    rows: list | None = None,
 ) -> list:
     """Driver-local top-k over the query terms' collected blocks —
     result-identical to wand_topk (same shard_topk kernel per shard,
@@ -226,7 +227,10 @@ def wand_topk_driver(
         raise ValueError("wand_topk_driver: empty term list")
     avgdl = ix.meta.avgdl
     idfs = dict(term_idfs)
-    rows = ix.blocks.filter(F.col("term").isin(terms)).collect()
+    if rows is None:
+        rows = ix.blocks.filter(F.col("term").isin(terms)).collect()
+    # else: caller pre-fetched the terms' block rows (SearchEngine's
+    # bounded per-term cache — a hit serves with zero index-scan jobs)
     if not rows:
         return []
     bpdf = pd.DataFrame([r.asDict() for r in rows])

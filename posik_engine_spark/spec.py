@@ -62,6 +62,13 @@ DRIVER_DICT_MAX_TERMS: int = 1_000_000
 # interactive p50 path); fatter queries scatter per-shard tasks. At
 # ~2-4 varint bytes/posting this bounds the collect at a few MB.
 DRIVER_WAND_MAX_POSTINGS: int = 2_000_000
+# Bounded LRU over the driver-WAND path's collected compressed blocks,
+# keyed by term and budgeted in POSTINGS (the same unit as the gate
+# above; delta+varint ≈ 2-4 bytes/posting, so the cap bounds heap at a
+# few MB). Zipf-distributed query workloads re-ask the same hot terms:
+# a cache hit serves the query with ZERO index-scan jobs (the
+# Lucene-style hot posting-list cache; content fetch still runs).
+DRIVER_BLOCK_CACHE_MAX_POSTINGS: int = 4_000_000
 # Snippet window in words (reference SnippetBuilder.java:40-41).
 SNIPPET_BEFORE: int = 12
 SNIPPET_AFTER: int = 6
