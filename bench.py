@@ -107,7 +107,9 @@ def run_build(spark, sf_dir: str, out_dir: str, n_shards: int, replicate: int = 
     return ix, docs, build_sec
 
 
-def run_queries(spark, ix, docs) -> tuple[dict[str, float], dict[str, int]]:
+def run_queries(
+    spark, ix, docs
+) -> tuple[dict[str, float], dict[str, float], dict[str, int]]:
     from posik_engine_spark.operators.search import SearchEngine
 
     engine = SearchEngine(spark, ix, docs)

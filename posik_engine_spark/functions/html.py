@@ -89,7 +89,11 @@ def html_body_without_h1(col: Column) -> Column:
     # An explicitly empty <body></body> yields "" (first tier), never
     # the head fallback (double-counting).
     has_close = c.rlike(r"(?is)<body\b[^>]*>.*</body\s*>")
-    has_open = c.rlike(r"(?is)<body\b")
+    # has_open requires the COMPLETE opening tag (with its '>'): a page
+    # truncated mid-tag ('...<body' cut off by the crawler) has no body
+    # content to extract, and must fall through to the whole-document
+    # tier instead of silently yielding an empty body field
+    has_open = c.rlike(r"(?is)<body\b[^>]*>")
     body = (
         F.when(
             has_close, F.regexp_extract(c, r"(?is)<body\b[^>]*>(.*)</body\s*>", 1)

@@ -51,7 +51,13 @@ def main(argv: list[str] | None = None) -> int:
         if not (args.embeddings and args.out):
             p.error("build needs --embeddings and --out")
         emb = spark.read.parquet(args.embeddings)
-        n_cent = args.n_centroids or similarity.DEFAULT_IVF_K
+        n_cent = (
+            args.n_centroids
+            if args.n_centroids is not None
+            else similarity.DEFAULT_IVF_K
+        )
+        if n_cent < 1:
+            p.error("--n-centroids must be >= 1")
         similarity.save_ivf(
             emb, args.out, n_centroids=n_cent, iters=args.iters,
             vec_col=args.vec_col,
@@ -91,7 +97,9 @@ def main(argv: list[str] | None = None) -> int:
         qv = [float(x) for x in row[0][0]]
     else:
         p.error("query needs --vector or (--vec-id and --embeddings)")
-    nprobe = args.nprobe or similarity.DEFAULT_NPROBE
+    nprobe = args.nprobe if args.nprobe is not None else similarity.DEFAULT_NPROBE
+    if nprobe < 1:
+        p.error("--nprobe must be >= 1")
     hits = [
         {"vec_id": int(r["vec_id"]), "cosine": float(r["cosine"])}
         for r in store.topk(qv, k=args.k, nprobe=nprobe).collect()

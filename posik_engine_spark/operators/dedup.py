@@ -98,32 +98,31 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         import logging
 
-        dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        # hot shingles are FEW by the cap's assumption (df > threshold
-        # boilerplate), so collect them driver-side and filter with a
-        # NOT-IN predicate: no persist to leak across calls (the round-2
-        # version persisted this frame and never unpersisted it), and
-        # the filter pushes into the shingle scan instead of an anti-join
-        # exchange. A pathological cap that yields a huge hot set falls
-        # back to a broadcast anti-join rather than a megabyte literal.
-        hot = [
-            r["shingle"]
-            for r in dfs.filter(F.col("df") > max_shingle_df)
+        hot_df = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
             .select("shingle")
-            .collect()
-        ]
-        if hot:
+        )
+        # count BEFORE deciding where the hot set lives: only a small
+        # set (<= 10k, the cap's normal boilerplate case) is collected
+        # to the driver for a pushed-down NOT-IN predicate; a
+        # pathological cap yielding millions of hot shingles stays
+        # plan-side as an anti-join — never materialized in driver
+        # memory (no persist either, so nothing leaks across calls;
+        # recomputing the df agg once for the small branch is cheaper
+        # than a cached frame pinned forever)
+        n_hot = hot_df.count()
+        if n_hot:
             logging.getLogger(__name__).warning(
                 "ngram_jaccard_pairs: dropping %d shingles with df > %d "
-                "from the shingle universe", len(hot), max_shingle_df,
+                "from the shingle universe", n_hot, max_shingle_df,
             )
-            if len(hot) <= 10_000:
+            if n_hot <= 10_000:
+                hot = [r["shingle"] for r in hot_df.collect()]
                 sh = sh.filter(~F.col("shingle").isin(hot))
             else:
-                hot_df = sh.sparkSession.createDataFrame(
-                    [(s,) for s in hot], "shingle string"
-                )
-                sh = sh.join(F.broadcast(hot_df), "shingle", "left_anti")
+                sh = sh.join(hot_df, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -77,6 +77,32 @@ def _lineage_write(out_dir: str, record: dict) -> None:
     fname = f"{record['stage']}-{record['attempt_ts']:.6f}.json"
     with open(os.path.join(d, fname), "w") as f:
         json.dump(record, f)
+    # maintain an O(1) pointer to the chronologically-latest record so
+    # build_status() (hit by every statistics() call) never has to list
+    # + parse the whole lineage dir, which gains one file per streaming
+    # micro-batch and grows without bound over a stream's lifetime.
+    latest = _latest_lineage(out_dir, scan_fallback=False)
+    if latest is None or record["finished_at"] >= latest["finished_at"]:
+        tmp = os.path.join(d, "_latest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp, os.path.join(d, "_latest.json"))
+
+
+def _latest_lineage(out_dir: str, scan_fallback: bool = True) -> dict | None:
+    """Chronologically-latest lineage record: the `_latest.json` pointer
+    when present, else (legacy dirs written before the pointer existed)
+    a full scan sorted by finished_at."""
+    p = os.path.join(out_dir, "_lineage", "_latest.json")
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    if not scan_fallback:
+        return None
+    recs = sorted(read_lineage(out_dir), key=lambda r: r["finished_at"])
+    return recs[-1] if recs else None
 
 
 def read_lineage(out_dir: str) -> list[dict]:
@@ -85,6 +111,8 @@ def read_lineage(out_dir: str) -> list[dict]:
         return []
     out = []
     for fn in sorted(os.listdir(d)):
+        if fn.startswith("_"):  # _latest.json pointer, not a record
+            continue
         with open(os.path.join(d, fn)) as f:
             out.append(json.load(f))
     return out
@@ -134,10 +162,10 @@ def build_status(out_dir: str | None) -> dict:
     timestamp — there is no durable state machine to consult."""
     if out_dir is None:
         return {"status": "INDEXED", "status_time": None, "error": None}
-    # read_lineage orders by filename (stage name first) — the status
-    # wants the CHRONOLOGICALLY latest attempt
-    recs = sorted(read_lineage(out_dir), key=lambda r: r["finished_at"])
-    last = recs[-1] if recs else None
+    # the _latest.json pointer keeps this O(1) even when streaming has
+    # appended one lineage record per micro-batch for days (legacy dirs
+    # fall back to the full scan, chronologically sorted)
+    last = _latest_lineage(out_dir)
     if last is not None and last["state"] == "FAILED":
         return {
             "status": "FAILED",
@@ -520,10 +548,15 @@ class IndexBuilder:
             snapshot.dropDuplicates(["repo", "path", "commit"])
             .withColumn("content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
         )
+        # slim cached key view (content EXCLUDED — keys + sha only):
+        # reused by the O(batch) counter and the key joins below, so the
+        # counter materializes the cache instead of running a second
+        # dedup pass over the snapshot as a separate job
+        snap_key_view = snap_keys.select(*DOC_KEY).cache()
         # observable for the O(batch) streaming contract: how many docs
         # this update actually ingested as its snapshot (a partial
         # micro-batch update must show O(batch) here, never O(log))
-        n_snap = snapshot.dropDuplicates(["repo", "path", "commit"]).count()
+        n_snap = snap_key_view.count()
         old_ds = self.backend.read(spark, self.doc_stats_path)
 
         new_or_changed = snap_keys.join(
@@ -533,10 +566,10 @@ class IndexBuilder:
             # stale = old versions of snapshot docs only (match on the
             # doc identity, differ in commit/sha)
             stale = old_ds.join(
-                snap_keys.select("repo", "path"), ["repo", "path"], "left_semi"
-            ).join(snap_keys.select(*DOC_KEY), DOC_KEY, "left_anti")
+                snap_key_view.select("repo", "path"), ["repo", "path"], "left_semi"
+            ).join(snap_key_view, DOC_KEY, "left_anti")
         else:
-            stale = old_ds.join(snap_keys.select(*DOC_KEY), DOC_KEY, "left_anti")
+            stale = old_ds.join(snap_key_view, DOC_KEY, "left_anti")
 
         stale = stale.cache()
         n_stale = stale.count()
@@ -555,6 +588,14 @@ class IndexBuilder:
             ]
         affected = sorted(stale_shards | set(new_shards))
         if not affected:
+            # the no-op path must release its caches too — a streaming
+            # sink replaying already-indexed batches hits this return
+            # routinely, and leaked cached RDDs would accumulate for the
+            # lifetime of the session (same leak class as the round-2
+            # dedup persist fix)
+            prepared_new.unpersist()
+            stale.unpersist()
+            snap_key_view.unpersist()
             return self.load()
 
         # stale removal via anti-join (scales past driver-side isin lists)
@@ -664,6 +705,7 @@ class IndexBuilder:
             st.counters["shards_rewritten"] = len(affected)
         prepared_new.unpersist()
         stale.unpersist()
+        snap_key_view.unpersist()
         return self.load()
 
     # -------------------------------------- incremental commit plumbing

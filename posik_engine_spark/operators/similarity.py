@@ -61,7 +61,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """try_divide, not '/': under Spark 4's default ANSI mode a plain
+    divide RAISES on a zero-norm (all-zero) vector, killing the whole
+    scan job. NULL matches DuckDB's x/0 (the oracle) and the driver
+    mirror cosine_py; desc ordering puts NULLs last, so degenerate
+    vectors never crash a query or win a top-k slot."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -306,11 +311,13 @@ def round6_half_up(x: float) -> float:
     )
 
 
-def cosine_py(a, b) -> float:
+def cosine_py(a, b) -> float | None:
     """Driver-side float-exact mirror of ``cosine_expr``: the same
     SEQUENTIAL left-fold f64 sums (zip order), IEEE multiply/sqrt/
     divide — bit-identical to the JVM evaluation, which is why probe
-    selection can run without a Spark job (see IVFStore.probe_cids)."""
+    selection can run without a Spark job (see IVFStore.probe_cids).
+    A zero-norm vector (all-zero embedding) yields ``None``, mirroring
+    cosine_expr's try_divide -> NULL — never a ZeroDivisionError."""
     import math
 
     acc = 0.0
@@ -322,7 +329,10 @@ def cosine_py(a, b) -> float:
     nb = 0.0
     for y in b:
         nb = nb + float(y) * float(y)
-    return acc / (math.sqrt(na) * math.sqrt(nb))
+    denom = math.sqrt(na) * math.sqrt(nb)
+    if denom == 0.0:
+        return None
+    return acc / denom
 
 
 def _probe_cids(centroids, query_vec: list[float], nprobe: int) -> list[int]:
@@ -331,11 +341,17 @@ def _probe_cids(centroids, query_vec: list[float], nprobe: int) -> list[int]:
     the serving-latency analog of the driver-held term dictionary).
     Rounding/ordering are float-exact mirrors of the Spark/DuckDB
     exprs: round6_half_up(cosine_py(...)) == F.round(cosine_expr(...), 6)
-    bit-for-bit (pytest-pinned), ties -> lowest cid."""
-    scored = sorted(
-        (-round6_half_up(cosine_py(v, query_vec)), cid) for cid, v in centroids
-    )
-    return [cid for _, cid in scored[:nprobe]]
+    bit-for-bit (pytest-pinned), ties -> lowest cid. NULL cosines
+    (zero-norm centroid or query) sort LAST — Spark's desc-nulls-last —
+    so a degenerate vector never crashes or wins a probe slot."""
+    def _key(cid, v):
+        s = cosine_py(v, query_vec)
+        if s is None:
+            return (1, 0.0, cid)
+        return (0, -round6_half_up(s), cid)
+
+    scored = sorted(_key(cid, v) for cid, v in centroids)
+    return [cid for _, _, cid in scored[:nprobe]]
 
 
 def ivf_topk(
