@@ -28,7 +28,13 @@ def title_for_path(path: str | None) -> str:
     return path.rstrip("/").rsplit("/", 1)[-1]
 
 
-def build_snippet(content: str | None, terms: list[str]) -> str:
+def build_snippet(
+    content: str | None, terms: list[str], normalize=None
+) -> str:
+    """``normalize`` (optional per-token callable, e.g. the index's
+    stemmer) maps each word-form before matching — so a stemmed index
+    highlights 'runs' for the query 'running', exactly like the
+    reference matching on shared normal forms."""
     if not content:
         return ""
     words = content.split()
@@ -38,6 +44,8 @@ def build_snippet(content: str | None, terms: list[str]) -> str:
         if not remaining:
             break
         forms = set(tokenize_py(w))
+        if normalize is not None:
+            forms = {normalize(f) for f in forms}
         hit = forms & remaining
         if hit:
             # consume each query term once (reference SnippetBuilder.java:25)

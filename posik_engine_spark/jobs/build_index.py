@@ -75,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-chars", type=int, default=None)
     p.add_argument("--max-punct-ratio", type=float, default=None)
     p.add_argument("--max-digit-ratio", type=float, default=None)
+    p.add_argument(
+        "--stemmer", default=None, choices=["porter"],
+        help="optional token normalization (natural-language corpora); "
+        "recorded in the index meta and applied to queries by the engine",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("posik-build-index").getOrCreate()
@@ -104,7 +109,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.block_size:
         kw["block_size"] = args.block_size
     builder = IndexBuilder(
-        spark, args.out, n_shards=args.n_shards, shard_batches=args.shard_batches, **kw
+        spark, args.out, n_shards=args.n_shards, shard_batches=args.shard_batches,
+        stemmer=args.stemmer, **kw
     )
     t0 = time.time()
     if args.incremental:

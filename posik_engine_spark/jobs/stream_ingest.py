@@ -32,6 +32,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--compact-every", type=int, default=10)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--available-now", action="store_true")
+    p.add_argument(
+        "--stemmer", default=None, choices=["porter"],
+        help="must match the index dir's recorded stemmer (the builder "
+        "refuses a mismatch)",
+    )
     args = p.parse_args(argv)
 
     spark = SparkSession.builder.appName("posik-stream-ingest").getOrCreate()
@@ -40,7 +45,9 @@ def main(argv: list[str] | None = None) -> int:
     from posik_engine_spark.operators.lifecycle import IndexBuilder
     from posik_engine_spark.streaming import ingest
 
-    builder = IndexBuilder(spark, args.out, n_shards=args.n_shards)
+    builder = IndexBuilder(
+        spark, args.out, n_shards=args.n_shards, stemmer=args.stemmer
+    )
     stream = ingest.stream_docs(
         spark, args.source, max_files_per_trigger=args.max_files_per_trigger
     )

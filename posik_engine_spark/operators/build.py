@@ -104,6 +104,7 @@ def prepare_docs(
     use_pandas_udf: bool = True,
     with_token_arrays: bool = False,
     admission: dict | None = None,
+    stemmer: str | None = None,
 ) -> DataFrame:
     """Dedup + identity + tokenize-and-count.
 
@@ -137,7 +138,24 @@ def prepare_docs(
     admission filter (SURVEY.md §2 B4; reference
     CrawlerService.java:72,80-83 refuses non-text / non-2xx pages):
     rejected docs never pay the tokenize UDF. None = admit everything.
+
+    ``stemmer`` ("porter" | None) maps every token through the named
+    stemmer inside the SAME fused Arrow round trip (memoized per
+    distinct word per executor — the vocabulary is tiny next to the
+    token stream). The engine records the choice in the index meta and
+    applies the identical function to query tokens and snippet forms
+    (functions/stemmer.py). Pandas path only: the all-JVM variant has
+    no stemming expression.
     """
+    if stemmer is not None:
+        from posik_engine_spark.functions.stemmer import resolve
+
+        resolve(stemmer)  # fail fast on a typo, driver-side
+        if not use_pandas_udf:
+            raise ValueError(
+                "stemmer requires the pandas-UDF path (use_pandas_udf=True); "
+                "the all-JVM tokenizer variant cannot stem"
+            )
     if admission is not None:
         from posik_engine_spark.operators.textops import admit_docs
 
@@ -148,16 +166,23 @@ def prepare_docs(
         .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
     )
     if use_pandas_udf:
+        tc_udf = (
+            _tokenize_count_udf if stemmer is None
+            else _tokenize_count_stem_udf(stemmer)
+        )
         out = (
-            out.withColumn("_tc", _tokenize_count_udf("path", "content"))
+            out.withColumn("_tc", tc_udf("path", "content"))
             .withColumn("counts", F.col("_tc.counts"))
             .withColumn("len_path", F.col("_tc.len_path"))
             .withColumn("len_content", F.col("_tc.len_content"))
             .drop("_tc")
         )
         if with_token_arrays:
-            out = out.withColumn("path_tokens", tokenize_udf("path")).withColumn(
-                "content_tokens", tokenize_udf("content")
+            tok_udf = (
+                tokenize_udf if stemmer is None else _tokenize_stem_udf(stemmer)
+            )
+            out = out.withColumn("path_tokens", tok_udf("path")).withColumn(
+                "content_tokens", tok_udf("content")
             )
     else:
         # all-JVM variant: token arrays via codegen'd regexp exprs;
@@ -263,17 +288,11 @@ _PREP_TYPE = T.StructType(
 )
 
 
-@F.pandas_udf(_PREP_TYPE)
-def _tokenize_count_udf(path, content):  # pragma: no cover (executors)
-    """Fused tokenize + count: strings in, compact (term, tfp, tfc)
-    maps + field lengths out — one Arrow round trip per doc batch."""
+def _count_frame(pt, ct):  # pragma: no cover (executors)
+    """(path-token series, content-token series) -> counts DataFrame."""
     import pandas as pd
     from collections import Counter
 
-    from posik_engine_spark.functions.tokenizer import _tokenize_series
-
-    pt = _tokenize_series(path)
-    ct = _tokenize_series(content)
     counts, lp, lc = [], [], []
     for p_toks, c_toks in zip(pt, ct):
         cp = Counter(p_toks)
@@ -287,6 +306,49 @@ def _tokenize_count_udf(path, content):  # pragma: no cover (executors)
         lp.append(len(p_toks))
         lc.append(len(c_toks))
     return pd.DataFrame({"counts": counts, "len_path": lp, "len_content": lc})
+
+
+@F.pandas_udf(_PREP_TYPE)
+def _tokenize_count_udf(path, content):  # pragma: no cover (executors)
+    """Fused tokenize + count: strings in, compact (term, tfp, tfc)
+    maps + field lengths out — one Arrow round trip per doc batch."""
+    from posik_engine_spark.functions.tokenizer import _tokenize_series
+
+    return _count_frame(_tokenize_series(path), _tokenize_series(content))
+
+
+def _tokenize_count_stem_udf(stemmer: str):
+    """Stemmed variant of the fused UDF: same single Arrow round trip,
+    tokens mapped through the named stemmer before counting. The
+    stemmer NAME (a string) is what the closure captures — executors
+    re-resolve it locally, and per-word memoization makes the map cost
+    ~one dict hit per token."""
+
+    @F.pandas_udf(_PREP_TYPE)
+    def _udf(path, content):  # pragma: no cover (executors)
+        from posik_engine_spark.functions.stemmer import resolve
+        from posik_engine_spark.functions.tokenizer import _tokenize_series
+
+        stem = resolve(stemmer)
+        pt = _tokenize_series(path).map(lambda ts: [stem(t) for t in ts])
+        ct = _tokenize_series(content).map(lambda ts: [stem(t) for t in ts])
+        return _count_frame(pt, ct)
+
+    return _udf
+
+
+def _tokenize_stem_udf(stemmer: str):
+    """Stemmed token-array UDF (the with_token_arrays cross-check path)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _udf(s):  # pragma: no cover (executors)
+        from posik_engine_spark.functions.stemmer import resolve
+        from posik_engine_spark.functions.tokenizer import _tokenize_series
+
+        stem = resolve(stemmer)
+        return _tokenize_series(s).map(lambda ts: [stem(t) for t in ts])
+
+    return _udf
 
 
 def term_freqs_shuffle(prepared: DataFrame) -> DataFrame:

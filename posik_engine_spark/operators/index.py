@@ -143,6 +143,11 @@ class Index:
     doc_stats: DataFrame
     term_stats: DataFrame
     meta: B.CorpusMeta
+    # token normalization the index was built with (None or "porter");
+    # the engine must stem query tokens and snippet word-forms with the
+    # SAME function or stemmed terms would never match (the reference
+    # shares one MorphologyService across indexing and search)
+    stemmer: str | None = None
 
     def prepare_for_queries(self, query_partitions: int | None = None) -> "Index":
         """Return a query-optimized handle: blocks and doc_stats
@@ -164,7 +169,10 @@ class Index:
         ds = self.doc_stats.repartition(nq, "shard").persist()
         stats = self.term_stats.persist()
         blocks.count(), ds.count(), stats.count()
-        return Index(blocks=blocks, doc_stats=ds, term_stats=stats, meta=self.meta)
+        return Index(
+            blocks=blocks, doc_stats=ds, term_stats=stats, meta=self.meta,
+            stemmer=self.stemmer,
+        )
 
     def term_info(self, terms: list[str]) -> dict[str, tuple[float, int, int]]:
         """term -> (idf, df, ctf) for terms present in the dictionary;
@@ -184,11 +192,12 @@ def build_index(
     docs: DataFrame,
     n_shards: int = spec.DEFAULT_N_SHARDS,
     cache: bool = True,
+    stemmer: str | None = None,
 ) -> Index:
     """One-shot in-memory build (the checkpointed/resumable job wrapper
     lives in jobs/build_index.py)."""
     with B.adaptive_arrow_batch(docs):
-        prepared = B.prepare_docs(docs, n_shards=n_shards)
+        prepared = B.prepare_docs(docs, n_shards=n_shards, stemmer=stemmer)
         tf = B.term_freqs(prepared)
         if cache:
             tf = tf.cache()
@@ -201,7 +210,9 @@ def build_index(
             ds = ds.cache()
             stats = stats.cache()
             blocks.count(), ds.count(), stats.count()
-    return Index(blocks=blocks, doc_stats=ds, term_stats=stats, meta=meta)
+    return Index(
+        blocks=blocks, doc_stats=ds, term_stats=stats, meta=meta, stemmer=stemmer
+    )
 
 
 def save_index(ix: Index, path: str) -> None:
@@ -229,6 +240,7 @@ def save_index(ix: Index, path: str) -> None:
                 "n_docs": ix.meta.n_docs,
                 "sum_len_path": ix.meta.sum_len_path,
                 "sum_len_content": ix.meta.sum_len_content,
+                "stemmer": ix.stemmer,
                 "spec": {"k1": spec.K1, "b": spec.B, "block_size": spec.BLOCK_SIZE},
             },
             f,
@@ -264,4 +276,5 @@ def load_index(spark: SparkSession, path: str) -> Index:
         doc_stats=spark.read.parquet(os.path.join(path, "doc_stats")),
         term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
         meta=B.CorpusMeta(m["n_docs"], m["sum_len_path"], m["sum_len_content"]),
+        stemmer=m.get("stemmer"),
     )

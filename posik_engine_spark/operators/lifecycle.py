@@ -225,14 +225,20 @@ class IndexBuilder:
         shard_batches: int = 1,
         block_size: int = spec.BLOCK_SIZE,
         backend=None,
+        stemmer: str | None = None,
     ):
         from posik_engine_spark.tables import ParquetBackend
 
+        if stemmer is not None:
+            from posik_engine_spark.functions.stemmer import resolve
+
+            resolve(stemmer)  # fail fast on a typo
         self.spark = spark
         self.out_dir = out_dir
         self.n_shards = n_shards
         self.shard_batches = shard_batches
         self.block_size = block_size
+        self.stemmer = stemmer
         # sink seam (tables.TableBackend): every index/state table
         # write, staged-partition commit, and read goes through it —
         # an Iceberg deployment swaps in overwritePartitions/MERGE
@@ -277,6 +283,7 @@ class IndexBuilder:
             "n_shards": n_shards,
             "shard_batches": shard_batches,
             "n_batches": len(_shard_batches(n_shards, shard_batches)),
+            "stemmer": stemmer,
         }
         if os.path.exists(plan_path):
             with open(plan_path) as f:
@@ -286,6 +293,16 @@ class IndexBuilder:
                     f"IndexBuilder({out_dir}): existing build used "
                     f"n_shards={existing['n_shards']}, this builder wants "
                     f"{n_shards}; delete the directory or match the shards"
+                )
+            if existing.get("stemmer") != stemmer:
+                # resuming / incrementally updating with a DIFFERENT
+                # token normalization would mix stemmed and unstemmed
+                # terms in one dictionary — silently wrong rankings
+                raise ValueError(
+                    f"IndexBuilder({out_dir}): existing build used "
+                    f"stemmer={existing.get('stemmer')!r}, this builder "
+                    f"wants {stemmer!r}; construct with the recorded "
+                    f"value (or delete the directory)"
                 )
             started = os.path.isdir(os.path.join(out_dir, "_markers"))
             if started and existing["shard_batches"] != shard_batches:
@@ -366,7 +383,9 @@ class IndexBuilder:
             # caching corpus-sized payload columns is pure GC/IO churn
             # that does not parallelize (measured: the cache insert
             # dominated the stage and froze its scaling).
-            prepared = B.prepare_docs(docs, n_shards=self.n_shards).select(
+            prepared = B.prepare_docs(
+                docs, n_shards=self.n_shards, stemmer=self.stemmer
+            ).select(
                 *B.PREPARED_SLIM_COLS
             ).persist(StorageLevel.MEMORY_AND_DISK)
             # counters ride the write jobs as observed metrics — no
@@ -435,6 +454,7 @@ class IndexBuilder:
                 "sum_len_content": int(row["slc"] or 0),
                 "n_shards": self.n_shards,
                 "block_size": self.block_size,
+                "stemmer": self.stemmer,
                 "spec": {"k1": spec.K1, "b": spec.B},
             }
             with open(self.meta_path, "w") as f:
@@ -513,6 +533,7 @@ class IndexBuilder:
             doc_stats=self.backend.read(self.spark, self.doc_stats_path),
             term_stats=self.backend.read(self.spark, self.term_stats_path),
             meta=B.CorpusMeta(m["n_docs"], m["sum_len_path"], m["sum_len_content"]),
+            stemmer=m.get("stemmer", self.stemmer),
         )
 
     def counters(self) -> dict[str, int]:
@@ -579,6 +600,7 @@ class IndexBuilder:
         prepared_new = B.prepare_docs(
             new_or_changed.select("repo", "path", "commit", "lang", "content"),
             n_shards=self.n_shards,
+            stemmer=self.stemmer,
         ).select(*B.PREPARED_SLIM_COLS).cache()
         with B.adaptive_arrow_batch(snapshot):
             # materialize under the scoped Arrow batch size: this is the

@@ -152,6 +152,13 @@ class SearchEngine:
             self._aqe_held = True
             self._aqe_finalizer = weakref.finalize(self, _aqe_release, spark)
         self.ix = ix.prepare_for_queries() if optimize_for_queries else ix
+        # token normalization recorded at build time (index meta):
+        # query tokens and snippet word-forms MUST go through the same
+        # function or stemmed index terms would never match (the
+        # reference shares one MorphologyService across index + search)
+        from posik_engine_spark.functions.stemmer import resolve as _resolve_stem
+
+        self._stem = _resolve_stem(self.ix.stemmer)
         # content joined back only for the top-k (content never enters
         # the scoring plan — column pruning by construction)
         self._content = None
@@ -210,9 +217,13 @@ class SearchEngine:
 
     @classmethod
     def from_docs(
-        cls, spark: SparkSession, docs: DataFrame, n_shards: int = spec.DEFAULT_N_SHARDS
+        cls,
+        spark: SparkSession,
+        docs: DataFrame,
+        n_shards: int = spec.DEFAULT_N_SHARDS,
+        stemmer: str | None = None,
     ) -> "SearchEngine":
-        return cls(spark, build_index(docs, n_shards=n_shards), docs)
+        return cls(spark, build_index(docs, n_shards=n_shards, stemmer=stemmer), docs)
 
     @classmethod
     def from_index_dir(
@@ -346,7 +357,7 @@ class SearchEngine:
         t_start = time.time()
         if query is None or not query.strip():
             raise SearchError("empty query")
-        raw = tokenize_py(query)
+        raw = self._q_tokens(query)
         if not raw:
             raise SearchError("query contains only stop words or garbage")
         terms = self.filter_query_terms(raw)
@@ -393,9 +404,17 @@ class SearchEngine:
             return ""
         surviving = set(terms)
         kept_words = [
-            w for w in query.split() if set(tokenize_py(w)) & surviving
+            w for w in query.split() if set(self._q_tokens(w)) & surviving
         ]
         return "corrected query: " + " ".join(kept_words)
+
+    def _q_tokens(self, text: str) -> list[str]:
+        """Query-side normal forms: the build tokenizer plus the
+        index's recorded stemmer (if any) — EXACTLY what was indexed."""
+        toks = tokenize_py(text)
+        if self._stem is not None:
+            toks = [self._stem(t) for t in toks]
+        return toks
 
     # ---------------------------------------------------- Q8/Q9/Q10/Q11
     def _assemble(self, window, terms: list[str]) -> list[tuple]:
@@ -436,7 +455,8 @@ class SearchEngine:
                     c["repo"] if c else "",
                     c["path"] if c else "",
                     stored_title or title_for_path(c["path"] if c else ""),
-                    build_snippet(c["content"] if c else "", terms),
+                    build_snippet(c["content"] if c else "", terms,
+                                  normalize=self._stem),
                     r["score"] / max_rel,
                     r["score"],
                 )
