@@ -189,6 +189,10 @@ class SearchEngine:
 
         self._block_cache: OrderedDict[str, list] = OrderedDict()
         self._block_cache_postings = 0
+        # guards _term_cache/_block_cache under concurrent searches on
+        # one engine (the serving shape — the reference is a concurrent
+        # Spring service). Spark jobs never run while it is held.
+        self._cache_lock = threading.RLock()
         if self.ix.term_stats.count() <= spec.DRIVER_DICT_MAX_TERMS:
             for r in self.ix.term_stats.collect():
                 self._term_cache[r["term"]] = (
@@ -198,19 +202,36 @@ class SearchEngine:
 
     def _term_info(self, terms: list[str]) -> dict[str, tuple[float, int, int]]:
         if not self._dict_complete:
-            if len(self._term_cache) > spec.DRIVER_DICT_MAX_TERMS:
-                # bound the lookup cache in the big-vocab path:
-                # arbitrary OOV query terms (cached as None) must not
-                # grow driver memory without limit. Evict BEFORE
-                # computing ``missing`` — clearing afterwards would drop
-                # already-cached terms of the current query from the
-                # fetch set and silently lose them from the result.
-                self._term_cache.clear()
-            missing = [t for t in terms if t not in self._term_cache]
+            with self._cache_lock:
+                if len(self._term_cache) > spec.DRIVER_DICT_MAX_TERMS:
+                    # bound the lookup cache in the big-vocab path:
+                    # arbitrary OOV query terms (cached as None) must
+                    # not grow driver memory without limit. Evict BEFORE
+                    # computing ``missing`` — clearing afterwards would
+                    # drop already-cached terms of the current query
+                    # from the fetch set and silently lose them.
+                    self._term_cache.clear()
+                info = {
+                    t: self._term_cache[t]
+                    for t in terms
+                    if t in self._term_cache
+                }
+            missing = [t for t in terms if t not in info]
             if missing:
+                # Spark job outside the lock (concurrent cold queries
+                # must not serialize each other); setdefault keeps a
+                # concurrent writer's identical value. The result is
+                # assembled from the LOCAL snapshot + fetch, so a
+                # concurrent clear() between phases cannot drop a real
+                # dictionary term from this query's scoring.
                 fetched = self.ix.term_info(missing)
+                with self._cache_lock:
+                    for t in missing:
+                        self._term_cache.setdefault(t, fetched.get(t))
                 for t in missing:
-                    self._term_cache[t] = fetched.get(t)
+                    info[t] = fetched.get(t)
+            return {t: v for t in terms if (v := info.get(t)) is not None}
+        # complete dictionaries are immutable after __init__ — lock-free
         return {
             t: v for t in terms if (v := self._term_cache.get(t)) is not None
         }
@@ -300,29 +321,52 @@ class SearchEngine:
         bounded per-term LRU: misses run ONE pruned scan for all
         missing terms; hits cost nothing. Eviction is oldest-first by
         last use and NEVER evicts the current query's terms (the r1
-        eviction-drops-current-terms bug class, pinned by pytest)."""
+        eviction-drops-current-terms bug class, pinned by pytest).
+
+        Thread-safe for concurrent searches on one engine (a serving
+        deployment's normal shape, like the reference's Spring service):
+        all cache mutations happen under ``_cache_lock``; the Spark
+        collect runs OUTSIDE the lock so cold queries do not serialize
+        each other. Assembly reads a local snapshot (``have``), so a
+        concurrent query evicting one of OUR terms between phases
+        cannot drop its rows from this result."""
         current = set(terms)
-        missing = [t for t in terms if t not in self._block_cache]
+        with self._cache_lock:
+            have = {
+                t: self._block_cache[t] for t in terms if t in self._block_cache
+            }
+            for t in have:
+                self._block_cache.move_to_end(t)  # LRU recency
+        missing = [t for t in terms if t not in have]
         if missing:
             fetched = self.ix.blocks.filter(F.col("term").isin(missing)).collect()
             by_term: dict[str, list] = {t: [] for t in missing}
             for r in fetched:
                 by_term[r["term"]].append(r)
-            for t in missing:
-                self._block_cache[t] = by_term[t]
-                self._block_cache_postings += sum(r["n_docs"] for r in by_term[t])
-            while (
-                self._block_cache_postings > spec.DRIVER_BLOCK_CACHE_MAX_POSTINGS
-                and any(t not in current for t in self._block_cache)
-            ):
-                victim = next(t for t in self._block_cache if t not in current)
-                dropped = self._block_cache.pop(victim)
-                self._block_cache_postings -= sum(r["n_docs"] for r in dropped)
-        out: list = []
-        for t in terms:
-            self._block_cache.move_to_end(t)  # LRU recency
-            out.extend(self._block_cache[t])
-        return out
+            with self._cache_lock:
+                for t in missing:
+                    # a concurrent query may have inserted t meanwhile —
+                    # inserting again would double-count its postings
+                    if t not in self._block_cache:
+                        self._block_cache[t] = by_term[t]
+                        self._block_cache_postings += sum(
+                            r["n_docs"] for r in by_term[t]
+                        )
+                    self._block_cache.move_to_end(t)
+                while (
+                    self._block_cache_postings
+                    > spec.DRIVER_BLOCK_CACHE_MAX_POSTINGS
+                    and any(t not in current for t in self._block_cache)
+                ):
+                    victim = next(
+                        t for t in self._block_cache if t not in current
+                    )
+                    dropped = self._block_cache.pop(victim)
+                    self._block_cache_postings -= sum(
+                        r["n_docs"] for r in dropped
+                    )
+            have.update(by_term)
+        return [r for t in terms for r in have[t]]
 
     def close(self) -> None:
         """Release serving state: restore the session conf mutated in

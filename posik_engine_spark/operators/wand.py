@@ -36,7 +36,13 @@ from posik_engine_spark import spec
 from posik_engine_spark.operators.index import Index, kernel_np
 
 _OUT_SCHEMA = "doc_id long, score double"
-_CHUNK = 1024
+# Scoring-chunk schedule: geometric growth from ~heap size up to the
+# vectorization sweet spot. A FIXED large chunk makes the kth-score cut
+# unreachable whenever a shard has fewer candidates than the chunk
+# (everything lands in chunk 0, kth is only known after scoring it) —
+# interactive k is ~10-50, so start near k and double.
+_CHUNK = 1024  # max chunk size (numpy batch sweet spot)
+_CHUNK0 = 64  # first chunk ~ top-k heap size; the cut can fire after it
 
 
 def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = None):
@@ -165,8 +171,12 @@ def shard_topk(
     scored_val: list[np.ndarray] = []
     n_scored = 0
     kth = -np.inf
-    for c0 in range(0, len(by_ub), _CHUNK):
-        chunk = by_ub[c0 : c0 + _CHUNK]
+    c0 = 0
+    size = max(k, _CHUNK0)
+    while c0 < len(by_ub):
+        chunk = by_ub[c0 : c0 + size]
+        c0 += len(chunk)
+        size = min(size * 2, _CHUNK)
         if n_scored >= k and ub[chunk[0]] < kth:
             break  # WAND cut: no remaining candidate can reach the top-k
         acc = np.zeros(len(chunk), dtype=np.float64)

@@ -100,8 +100,10 @@ def test_wand_early_termination_scores_fraction():
     assert int(out.iloc[0]["doc_id"]) == 5  # the crafted dominant doc wins
     assert diag["candidates"] == N_DOCS
     assert diag["candidates_scored"] < N_DOCS, diag
-    # the cut fires at chunk granularity: scored <= 2 chunks here
-    assert diag["candidates_scored"] <= 2 * wand._CHUNK, diag
+    # geometric chunks (64, 128, ...) let the cut fire near the heap
+    # size: scored <= first two chunks here, far under one old fixed
+    # 1024-chunk
+    assert diag["candidates_scored"] <= 3 * wand._CHUNK0, diag
 
 
 def test_pruned_equals_unpruned_topk():
