@@ -224,15 +224,19 @@ def save_index(ix: Index, path: str) -> None:
         .parquet(os.path.join(path, "blocks"))
     )
     (
+        # repo-sorted files: repo-scoped probes and incremental stale
+        # lookups push ``repo IN (...)`` down to row-group pruning
         ix.doc_stats.repartition("shard")
-        .sortWithinPartitions("doc_id")
+        .sortWithinPartitions("repo", "path")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(os.path.join(path, "doc_stats"))
     )
-    ix.term_stats.repartition(1).write.mode("overwrite").parquet(
-        os.path.join(path, "term_stats")
-    )
+    # term-sorted dictionary: big-vocab per-query term probes prune
+    # (the reference's secondary b-tree on lemma, model/Lemma.java:17)
+    ix.term_stats.repartition(1).sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "term_stats"))
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {

@@ -415,7 +415,10 @@ class IndexBuilder:
                 self.doc_stats_path,
                 partition_col="shard",
                 n_partitions=self.n_shards,
-                sort_cols=["shard", "doc_id"],
+                # repo-sorted files: incremental updates and repo-scoped
+                # queries probe doc_stats by repo — row-group min/max on
+                # a sorted column makes those reads skip everything else
+                sort_cols=["shard", "repo", "path"],
             )
             prepared.unpersist()
             st.counters["docs_tokenized"] = int(ds_obs.get["docs"])
@@ -438,6 +441,12 @@ class IndexBuilder:
                 ),
                 self.term_stats_path,
                 n_partitions=1,
+                # term-sorted dictionary files: big-vocab engines probe
+                # this table per query with ``term IN (...)`` (the
+                # reference's secondary b-tree on lemma,
+                # model/Lemma.java:17) — sorted row groups make the
+                # probe skip the rest of the vocabulary
+                sort_cols=["term"],
             )
             ds = self.backend.read(self.spark, self.doc_stats_path)
             row = ds.agg(
@@ -580,13 +589,33 @@ class IndexBuilder:
         n_snap = snap_key_view.count()
         old_ds = self.backend.read(spark, self.doc_stats_path)
 
+        # Joins whose matches must share the batch's repos read a
+        # repo-pruned registry view: every probe key carries a batch
+        # repo, so rows of other repos can never match — filtering them
+        # out is exact, and because doc_stats files are repo-sorted
+        # within each shard the pushed-down predicate prunes row groups
+        # (O(docs of touched repos) read, not O(corpus) — the remaining
+        # round-2 incremental scale note). Full-mode deletion GC below
+        # still reads everything: a deleted doc can live in any repo.
+        batch_repos = [
+            r["repo"]
+            for r in snap_key_view.select("repo")
+            .distinct()
+            .limit(spec.INCR_REPO_PRUNE_MAX + 1)
+            .collect()
+        ]
+        if 0 < len(batch_repos) <= spec.INCR_REPO_PRUNE_MAX:
+            old_ds_batch_repos = old_ds.filter(F.col("repo").isin(batch_repos))
+        else:
+            old_ds_batch_repos = old_ds
+
         new_or_changed = snap_keys.join(
-            old_ds.select(*DOC_KEY), DOC_KEY, "left_anti"
+            old_ds_batch_repos.select(*DOC_KEY), DOC_KEY, "left_anti"
         )
         if partial:
             # stale = old versions of snapshot docs only (match on the
             # doc identity, differ in commit/sha)
-            stale = old_ds.join(
+            stale = old_ds_batch_repos.join(
                 snap_key_view.select("repo", "path"), ["repo", "path"], "left_semi"
             ).join(snap_key_view, DOC_KEY, "left_anti")
         else:
@@ -695,7 +724,7 @@ class IndexBuilder:
                 ),
                 "doc_stats": self.backend.stage_partitions(
                     merged_ds, self._staging("doc_stats"), "shard", affected,
-                    sort_cols=["doc_id"],
+                    sort_cols=["repo", "path"],  # keep the repo-pruned layout
                 ),
             }
             new_blocks = build_blocks(
@@ -706,7 +735,10 @@ class IndexBuilder:
                 new_blocks, self._staging("blocks"), "shard", affected,
                 sort_cols=["term", "block_id"],
             )
-            self.backend.write(new_ts, self._staging("term_stats"), n_partitions=1)
+            self.backend.write(
+                new_ts, self._staging("term_stats"), n_partitions=1,
+                sort_cols=["term"],  # keep the probe-pruned layout
+            )
             # ---- phase 2: intent record, then idempotent promotes. A
             # crash between any two promotes is recovered by
             # _finish_incremental_commit() replaying from the intent
@@ -777,7 +809,8 @@ class IndexBuilder:
             spark = self.spark
             tf_all = self.backend.read(spark, self.tf_path)
             self.backend.write(
-                B.term_stats(tf_all), self.term_stats_path, n_partitions=1
+                B.term_stats(tf_all), self.term_stats_path, n_partitions=1,
+                sort_cols=["term"],
             )
             ds_all = self.backend.read(spark, self.doc_stats_path)
             row = ds_all.agg(

@@ -325,7 +325,16 @@ def wand_topk(
         def per_shard(_key, blocks_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
             return shard_topk(blocks_pdf, stats_pdf, terms, idfs, avgdl, k, repos=repos)
 
-        ds = ix.doc_stats.select("shard", "doc_id", "repo")
+        # pre-filter the cogroup's registry side to the scoped repos —
+        # shard_topk's membership test (candidate in stats AND repo in
+        # scope) is unchanged by dropping rows that fail it anyway, and
+        # the per-query exchange now carries O(scoped docs), not
+        # O(corpus) (file-backed doc_stats is repo-sorted, so the
+        # predicate also prunes row groups; the driver hybrid does the
+        # identical pre-filter)
+        ds = ix.doc_stats.filter(F.col("repo").isin(list(repos))).select(
+            "shard", "doc_id", "repo"
+        )
         res = (
             qb.groupBy("shard")
             .cogroup(ds.groupBy("shard"))

@@ -69,6 +69,16 @@ DRIVER_WAND_MAX_POSTINGS: int = 2_000_000
 # a cache hit serves the query with ZERO index-scan jobs (the
 # Lucene-style hot posting-list cache; content fetch still runs).
 DRIVER_BLOCK_CACHE_MAX_POSTINGS: int = 4_000_000
+# Incremental updates: joins whose matches must share the batch's repos
+# (new-or-changed detection, partial-mode stale lookup) filter the
+# on-disk doc registry to ``repo IN (batch repos)`` when the batch
+# touches at most this many distinct repos — doc_stats files are
+# written repo-sorted inside each shard, so parquet row-group pruning
+# turns those probes into O(docs of touched repos) instead of
+# O(corpus). Batches touching more repos than this fall back to the
+# full scan (a giant IN literal would bloat the plan for little
+# pruning value — such a batch resembles a full rebuild anyway).
+INCR_REPO_PRUNE_MAX: int = 4_096
 # Snippet window in words (reference SnippetBuilder.java:40-41).
 SNIPPET_BEFORE: int = 12
 SNIPPET_AFTER: int = 6

@@ -204,3 +204,73 @@ def test_incremental_commit_crash_replay(spark, tmp_path, monkeypatch):
     rows_b = sorted(map(tuple, ix_b.blocks.collect()))
     assert rows_a == rows_b
     assert ix_a.meta.n_docs == ix_b.meta.n_docs
+
+
+def test_doc_stats_files_are_repo_sorted(spark, docs_df, tmp_path_factory):
+    """Physical-layout contract behind the incremental repo pruning:
+    every doc_stats parquet file is sorted by (repo, path), so a pushed
+    ``repo IN (...)`` predicate prunes row groups instead of scanning
+    the whole registry (full build AND incrementally staged shards)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp("layout"))
+    b = IndexBuilder(spark, d, n_shards=4)
+    b.build(docs_df)
+    b.incremental_update(
+        docs_df.limit(5)
+        .withColumn("commit", F.lit("feedc0de"))
+        .select("repo", "path", "commit", "lang", "content"),
+        partial=True,
+    )
+
+    files = glob.glob(os.path.join(d, "doc_stats", "shard=*", "*.parquet"))
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["repo", "path"])
+        keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+        assert keys == sorted(keys), f
+
+    # the dictionary is term-sorted for the big-vocab probe path
+    ts_files = glob.glob(os.path.join(d, "term_stats", "*.parquet"))
+    assert ts_files
+    for f in ts_files:
+        terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
+        assert terms == sorted(terms), f
+
+    # and the predicate the pruned joins push actually reaches parquet
+    ds = spark.read.parquet(os.path.join(d, "doc_stats"))
+    plan = (
+        ds.filter(F.col("repo").isin(["repo-00", "repo-01"]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "In(repo" in plan.split("PushedFilters:")[1], plan
+
+
+def test_repo_prune_fallback_equals_full(spark, docs_df, tmp_path_factory, monkeypatch):
+    """Batches touching more distinct repos than INCR_REPO_PRUNE_MAX
+    take the unpruned path — result-identical to the pruned one (and to
+    a clean full rebuild)."""
+    from posik_engine_spark import spec as _spec
+
+    snapshot = docs_df.withColumn(
+        "content",
+        F.when(
+            F.pmod(F.xxhash64("path"), F.lit(7)) == 0,
+            F.concat(F.col("content"), F.lit("\npatched fallback")),
+        ).otherwise(F.col("content")),
+    ).cache()
+
+    monkeypatch.setattr(_spec, "INCR_REPO_PRUNE_MAX", 0)  # force fallback
+    base = IndexBuilder(spark, str(tmp_path_factory.mktemp("fb_base")), n_shards=4)
+    base.build(docs_df)
+    ix_inc = base.incremental_update(snapshot)
+
+    full = IndexBuilder(spark, str(tmp_path_factory.mktemp("fb_full")), n_shards=4)
+    ix_full = full.build(snapshot)
+    assert _blocks_fingerprint(ix_inc) == _blocks_fingerprint(ix_full)
+    assert _stats_fingerprint(ix_inc) == _stats_fingerprint(ix_full)
