@@ -189,6 +189,7 @@ class SearchEngine:
 
         self._block_cache: OrderedDict[str, list] = OrderedDict()
         self._block_cache_postings = 0
+        self._closed = False
         # guards _term_cache/_block_cache under concurrent searches on
         # one engine (the serving shape — the reference is a concurrent
         # Spring service). Spark jobs never run while it is held.
@@ -346,13 +347,15 @@ class SearchEngine:
             with self._cache_lock:
                 for t in missing:
                     # a concurrent query may have inserted t meanwhile —
-                    # inserting again would double-count its postings
-                    if t not in self._block_cache:
+                    # inserting again would double-count its postings;
+                    # after close() nothing may be (re-)inserted at all
+                    if not self._closed and t not in self._block_cache:
                         self._block_cache[t] = by_term[t]
                         self._block_cache_postings += sum(
                             r["n_docs"] for r in by_term[t]
                         )
-                    self._block_cache.move_to_end(t)
+                    if t in self._block_cache:
+                        self._block_cache.move_to_end(t)
                 while (
                     self._block_cache_postings
                     > spec.DRIVER_BLOCK_CACHE_MAX_POSTINGS
@@ -379,8 +382,13 @@ class SearchEngine:
                 self._aqe_finalizer.detach()
                 self._aqe_finalizer = None
             _aqe_release(self.spark)
-        self._block_cache.clear()
-        self._block_cache_postings = 0
+        with self._cache_lock:
+            # the flag (checked at insert time under this same lock)
+            # keeps a search draining concurrently with the teardown
+            # from re-inserting its fetched blocks after the clear
+            self._closed = True
+            self._block_cache.clear()
+            self._block_cache_postings = 0
         for df in (
             self.ix.blocks, self.ix.doc_stats, self.ix.term_stats, self._content
         ):

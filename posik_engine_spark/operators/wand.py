@@ -144,6 +144,11 @@ def shard_topk(
 
     # --- optional repo scoping via doc_stats lookup
     if repos is not None:
+        if stats_pdf is None or not len(stats_pdf):
+            # the registry side arrives pre-filtered to the scoped
+            # repos: a shard can hold the query terms' blocks while the
+            # scope owns none of its docs — nothing can match here
+            return empty
         sids = stats_pdf["doc_id"].to_numpy(np.int64)
         order = np.argsort(sids, kind="mergesort")
         sids = sids[order]

@@ -135,6 +135,21 @@ def test_pruned_equals_unpruned_topk():
     ]
 
 
+def test_scoped_shard_with_no_scope_docs_returns_empty():
+    """Repo scoping where the pre-filtered registry side is empty for
+    this shard (the scoped repo owns none of its docs): must return the
+    empty frame, never index into a zero-length stats array."""
+    empty_stats = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "repo": pd.Series(dtype=object)}
+    )
+    for stats in (None, empty_stats):
+        out = wand.shard_topk(
+            _shard(), stats, ["rare", "hot"], IDFS, AVGDL, 10, repos=["r1"]
+        )
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "score"]
+
+
 def test_driver_wand_diag_on_real_index(spark):
     """The serving hybrid surfaces aggregated pruning counters end to
     end (bench.py's across-rounds WAND-effectiveness artifact): totals
