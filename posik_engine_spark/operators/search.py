@@ -526,8 +526,9 @@ class SearchEngine:
         the right cost for an admin endpoint (the reference's
         countBySiteId is the same corpus-wide aggregate). In-memory
         engines re-derive terms from the persisted content (path +
-        content fields through the JVM tokenizer — exactly the build
-        tokenizer's output, T1's four-form agreement)."""
+        content fields through the build tokenizer INCLUDING the
+        index's recorded stemmer, so counts agree with the stemmed
+        dictionary; unstemmed engines take the all-JVM expr)."""
         import os
 
         from posik_engine_spark.functions.tokenizer import tokenize_expr
@@ -547,9 +548,21 @@ class SearchEngine:
             )
         elif self._content is not None or self._store is not None:
             src = self._content if self._content is not None else self._store._df
-            toks = F.explode(
-                F.concat(tokenize_expr("path"), tokenize_expr("content"))
-            ).alias("term")
+            if self._stem is not None:
+                # a stemmed index's dictionary holds STEMMED forms; the
+                # pure-Catalyst expr cannot stem, so count through the
+                # build's stem UDF (else detailed.lemmas would exceed
+                # the stemmed total — an impossible statistic)
+                from posik_engine_spark.operators.build import _tokenize_stem_udf
+
+                tok_udf = _tokenize_stem_udf(self.ix.stemmer)
+                toks = F.explode(
+                    F.concat(tok_udf("path"), tok_udf("content"))
+                ).alias("term")
+            else:
+                toks = F.explode(
+                    F.concat(tokenize_expr("path"), tokenize_expr("content"))
+                ).alias("term")
             rows = (
                 src.select("repo", toks)
                 .groupBy("repo")

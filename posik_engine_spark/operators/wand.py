@@ -111,6 +111,15 @@ def shard_topk(
     """
     empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
+    if k <= 0:
+        # the scoring loop's kth-score selection assumes k >= 1
+        # (np.partition at len-k); an empty window wants no rows anyway
+        return empty
+    if repos is not None and (stats_pdf is None or not len(stats_pdf)):
+        # the registry side arrives pre-filtered to the scoped repos: a
+        # shard can hold the query terms' blocks while the scope owns
+        # none of its docs — nothing can match, skip the decode outright
+        return empty
     by_term = dict(tuple(blocks_pdf.groupby("term", sort=False)))
     if any(t not in by_term for t in terms_rarest_first):
         return empty  # AND: some term absent from this shard entirely
@@ -144,11 +153,6 @@ def shard_topk(
 
     # --- optional repo scoping via doc_stats lookup
     if repos is not None:
-        if stats_pdf is None or not len(stats_pdf):
-            # the registry side arrives pre-filtered to the scoped
-            # repos: a shard can hold the query terms' blocks while the
-            # scope owns none of its docs — nothing can match here
-            return empty
         sids = stats_pdf["doc_id"].to_numpy(np.int64)
         order = np.argsort(sids, kind="mergesort")
         sids = sids[order]

@@ -61,11 +61,17 @@ def stream_docs(
     return r.parquet(path)
 
 
-def streaming_term_freqs(docs_stream: DataFrame, n_shards: int = 16) -> DataFrame:
+def streaming_term_freqs(
+    docs_stream: DataFrame, n_shards: int = 16, stemmer: str | None = None
+) -> DataFrame:
     """Per-doc term freqs on a stream: prepare_docs + term_freqs are
     narrow (tokenize UDF + explode), so the streaming plan needs no
-    stateful shuffle — append mode, unbounded."""
-    prepared = B.prepare_docs(docs_stream, n_shards=n_shards)
+    stateful shuffle — append mode, unbounded.
+
+    ``stemmer`` must match the batch index this stream feeds (same
+    contract as prepare_docs) — otherwise the stream emits unstemmed
+    terms that never match a stemmed dictionary."""
+    prepared = B.prepare_docs(docs_stream, n_shards=n_shards, stemmer=stemmer)
     return B.term_freqs(prepared)
 
 

@@ -150,6 +150,20 @@ def test_scoped_shard_with_no_scope_docs_returns_empty():
         assert list(out.columns) == ["doc_id", "score"]
 
 
+def test_shard_topk_k_zero_returns_empty():
+    """k=0 (an empty pagination window) must return the empty frame —
+    the kth-score selection (np.partition at len-k) assumes k >= 1 and
+    crashed with 'kth out of bounds' before the early return."""
+    for repos in (None, ["r1"]):
+        out = wand.shard_topk(
+            _shard(),
+            pd.DataFrame({"doc_id": [5], "repo": ["r1"]}),
+            ["rare", "hot"], IDFS, AVGDL, 0, repos=repos,
+        )
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "score"]
+
+
 def test_driver_wand_diag_on_real_index(spark):
     """The serving hybrid surfaces aggregated pruning counters end to
     end (bench.py's across-rounds WAND-effectiveness artifact): totals
