@@ -67,6 +67,18 @@ def test_unstemmed_statistics_unchanged(spark, english):
         assert got == {r: len(s) for r, s in per_repo.items()}
 
 
+def test_search_limit_zero_raises_nothing_found(spark, english):
+    """limit=0 is an empty pagination window: every slice is empty, so
+    relaxation exhausts the terms and raises the reference's
+    nothing-found error — it must not crash the shard scorer (k=0 hit
+    np.partition out-of-bounds before the guard)."""
+    from posik_engine_spark.oracle import SearchError
+
+    with SearchEngine.from_docs(spark, english, n_shards=2) as eng:
+        with pytest.raises(SearchError, match="nothing found"):
+            eng.search("running", limit=0)
+
+
 def test_streaming_term_freqs_threads_stemmer(spark, english):
     """streaming_term_freqs must emit the same (stemmed) vocabulary as
     the batch build it feeds — prepare_docs handles batch and streaming
