@@ -65,7 +65,14 @@ def varint_decode(buf: bytes) -> np.ndarray:
         # truncated (corrupt block) — fail with the real cause instead
         # of an unrelated numpy broadcast error downstream
         raise ValueError("varint_decode: truncated stream (corrupt posting block)")
-    is_last = (b & 0x80) == 0
+    hi = b & np.uint8(0x80)
+    if not hi.any():
+        # single-byte fast path: every value < 128 (the common case for
+        # tfs and small deltas) — the bytes ARE the values; skips the
+        # flatnonzero/repeat/reduceat machinery whose fixed numpy
+        # overhead dominates at interactive block sizes
+        return b.astype(_U64)
+    is_last = hi == 0
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1

@@ -60,33 +60,39 @@ def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = Non
         left = np.searchsorted(lo, bmin, side="left")
         keep = (left < len(lo)) & (lo[np.minimum(left, len(lo) - 1)] <= bmax)
         bpdf = bpdf[keep]
-    ids_parts, tfp_parts, tfc_parts, maxk_parts = [], [], [], []
-    lenp_parts, lenc_parts = [], []
-    for r in bpdf.itertuples(index=False):
-        ids = codec.decode_doc_ids(r.docs)
-        ids_parts.append(ids)
-        tfp_parts.append(codec.decode_counts(r.tfp))
-        tfc_parts.append(codec.decode_counts(r.tfc))
-        lenp_parts.append(codec.decode_counts(r.lenp))
-        lenc_parts.append(codec.decode_counts(r.lenc))
-        ubk = kernel_np(
-            np.array([r.max_tfp], dtype=np.int64),
-            np.array([r.max_tfc], dtype=np.int64),
-            np.array([r.min_lenp], dtype=np.int64),
-            np.array([r.min_lenc], dtype=np.int64),
-            avgdl,
-        )[0]
-        maxk_parts.append(np.full(len(ids), ubk))
-    if not ids_parts:
+    if not len(bpdf):
         z = np.empty(0, dtype=np.int64)
         return z, z, z, np.empty(0, dtype=np.float64), z, z
+    # one column extraction + ONE vectorized bound-kernel call for all
+    # blocks: itertuples + per-block 1-element kernel calls dominated
+    # the warm serving profile (pandas row machinery, not the actual
+    # varint decode). Elementwise kernel_np over the block-metadata
+    # vectors is float-identical to the per-block scalar calls.
+    # doc ids decode per block (each block restarts its delta chain);
+    # the four count streams have NO cross-value state, and every block
+    # buffer ends on a complete varint, so the CONCATENATED streams
+    # decode to exactly the concatenated arrays — one decode call each
+    # instead of one per block
+    ids_parts = [codec.decode_doc_ids(b) for b in bpdf["docs"].tolist()]
+    tfp = codec.decode_counts(b"".join(bpdf["tfp"].tolist()))
+    tfc = codec.decode_counts(b"".join(bpdf["tfc"].tolist()))
+    lenp = codec.decode_counts(b"".join(bpdf["lenp"].tolist()))
+    lenc = codec.decode_counts(b"".join(bpdf["lenc"].tolist()))
+    ubk = kernel_np(
+        bpdf["max_tfp"].to_numpy(np.int64),
+        bpdf["max_tfc"].to_numpy(np.int64),
+        bpdf["min_lenp"].to_numpy(np.int64),
+        bpdf["min_lenc"].to_numpy(np.int64),
+        avgdl,
+    )
+    lens = np.array([len(x) for x in ids_parts], dtype=np.int64)
     return (
         np.concatenate(ids_parts),
-        np.concatenate(tfp_parts),
-        np.concatenate(tfc_parts),
-        np.concatenate(maxk_parts),
-        np.concatenate(lenp_parts),
-        np.concatenate(lenc_parts),
+        tfp,
+        tfc,
+        np.repeat(ubk, lens),
+        lenp,
+        lenc,
     )
 
 
