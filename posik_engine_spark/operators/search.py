@@ -189,6 +189,12 @@ class SearchEngine:
 
         self._block_cache: OrderedDict[str, list] = OrderedDict()
         self._block_cache_postings = 0
+        # bounded LRU over fetched content rows keyed by doc_id
+        # (spec.DRIVER_CONTENT_CACHE_MAX_BYTES budget): hot result docs
+        # render snippets with zero Spark jobs — with the block cache, a
+        # fully-warm repeat query serves end-to-end without any job.
+        self._content_cache: OrderedDict[int, object] = OrderedDict()
+        self._content_cache_bytes = 0
         self._closed = False
         # guards _term_cache/_block_cache under concurrent searches on
         # one engine (the serving shape — the reference is a concurrent
@@ -389,6 +395,8 @@ class SearchEngine:
             self._closed = True
             self._block_cache.clear()
             self._block_cache_postings = 0
+            self._content_cache.clear()
+            self._content_cache_bytes = 0
         for df in (
             self.ix.blocks, self.ix.doc_stats, self.ix.term_stats, self._content
         ):
@@ -469,6 +477,69 @@ class SearchEngine:
         return toks
 
     # ---------------------------------------------------- Q8/Q9/Q10/Q11
+    def _content_for_ids(self, ids: list) -> dict:
+        """Content rows for the result window through a bounded LRU
+        keyed by doc_id — the document-store hot cache every serving
+        search engine keeps in front of its content fetch. Same
+        thread-safety protocol as _blocks_for_terms: snapshot under
+        ``_cache_lock``, ONE Spark fetch for the misses outside it
+        (cold queries must not serialize each other), insert under the
+        lock gated on ``_closed``. Budgeted in content bytes
+        (spec.DRIVER_CONTENT_CACHE_MAX_BYTES); eviction is oldest-first
+        and never evicts the current window's docs. Docs absent from
+        the content source (e.g. deleted) are simply not returned —
+        they are re-probed next time, never negatively cached."""
+
+        def _row_bytes(r) -> int:
+            return len(r["content"] or "") + len(r["path"] or "") + 64
+
+        current = set(ids)
+        with self._cache_lock:
+            have = {
+                i: self._content_cache[i]
+                for i in current
+                if i in self._content_cache
+            }
+            for i in have:
+                self._content_cache.move_to_end(i)  # LRU recency
+        missing = [i for i in ids if i not in have]
+        if missing:
+            if self._store is not None:
+                # pruned point lookup: bucket partition pruning + doc_id
+                # row-group min/max pruning (content_store.py)
+                fetched = self._store.fetch(missing)
+            else:
+                # k rows: id-list filter against the persisted corpus scan
+                fetched = {
+                    r["doc_id"]: r
+                    for r in self._content.filter(
+                        F.col("doc_id").isin(missing)
+                    ).collect()
+                }
+            with self._cache_lock:
+                for i, r in fetched.items():
+                    # a concurrent query may have inserted i meanwhile —
+                    # inserting again would double-count its bytes;
+                    # after close() nothing may be (re-)inserted at all
+                    if not self._closed and i not in self._content_cache:
+                        self._content_cache[i] = r
+                        self._content_cache_bytes += _row_bytes(r)
+                    if i in self._content_cache:
+                        self._content_cache.move_to_end(i)
+                while (
+                    self._content_cache_bytes
+                    > spec.DRIVER_CONTENT_CACHE_MAX_BYTES
+                    and any(i not in current for i in self._content_cache)
+                ):
+                    victim = next(
+                        i for i in self._content_cache if i not in current
+                    )
+                    self._content_cache_bytes -= _row_bytes(
+                        self._content_cache.pop(victim)
+                    )
+            have.update(fetched)
+        return have
+
     def _assemble(self, window, terms: list[str]) -> list[tuple]:
         if not window:
             return []
@@ -479,16 +550,7 @@ class SearchEngine:
                 "with docs=... or content_dir=... (statistics-only engines "
                 "cannot serve search results)"
             )
-        if self._store is not None:
-            # pruned point lookup: bucket partition pruning + doc_id
-            # row-group min/max pruning (content_store.py)
-            content_rows = self._store.fetch(ids)
-        else:
-            # k rows: id-list filter against the persisted corpus scan
-            content_rows = {
-                r["doc_id"]: r
-                for r in self._content.filter(F.col("doc_id").isin(ids)).collect()
-            }
+        content_rows = self._content_for_ids(ids)
         # normalization quirk kept (SURVEY.md §8.6): divide by the max of
         # the RETURNED window, so page 2's top row also shows 1.0
         max_rel = window[0]["score"]

@@ -69,6 +69,13 @@ DRIVER_WAND_MAX_POSTINGS: int = 2_000_000
 # a cache hit serves the query with ZERO index-scan jobs (the
 # Lucene-style hot posting-list cache; content fetch still runs).
 DRIVER_BLOCK_CACHE_MAX_POSTINGS: int = 4_000_000
+# Bounded LRU over fetched content rows (snippet assembly), budgeted in
+# CONTENT BYTES. Result distributions are Zipfian like query terms: hot
+# documents re-render snippets with zero Spark jobs, and together with
+# the block cache a fully-warm repeat query runs NO jobs at all. Same
+# snapshot-lifetime staleness model as the other driver caches (an
+# engine serves one index snapshot).
+DRIVER_CONTENT_CACHE_MAX_BYTES: int = 64 * 1024 * 1024
 # Incremental updates: joins whose matches must share the batch's repos
 # (new-or-changed detection, partial-mode stale lookup) filter the
 # on-disk doc registry to ``repo IN (batch repos)`` when the batch
