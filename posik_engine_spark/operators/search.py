@@ -323,58 +323,80 @@ class SearchEngine:
             return wand_topk_driver(self.ix, idfs, dfs, k, rows=rows)
         return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
 
-    def _blocks_for_terms(self, terms: list[str]) -> list:
-        """Collected block rows for the query terms, through the
-        bounded per-term LRU: misses run ONE pruned scan for all
-        missing terms; hits cost nothing. Eviction is oldest-first by
-        last use and NEVER evicts the current query's terms (the r1
-        eviction-drops-current-terms bug class, pinned by pytest).
-
-        Thread-safe for concurrent searches on one engine (a serving
-        deployment's normal shape, like the reference's Spring service):
-        all cache mutations happen under ``_cache_lock``; the Spark
-        collect runs OUTSIDE the lock so cold queries do not serialize
-        each other. Assembly reads a local snapshot (``have``), so a
-        concurrent query evicting one of OUR terms between phases
-        cannot drop its rows from this result."""
-        current = set(terms)
+    def _cached_fetch(
+        self,
+        cache,
+        size_attr: str,
+        budget: int,
+        keys: list,
+        sizer,
+        fetch_fn,
+    ) -> dict:
+        """Shared bounded-LRU read-through protocol for the driver
+        serving caches (term blocks, content rows). The invariants it
+        encodes were each individually bug-fixed in earlier rounds —
+        they live in ONE place so a future fix cannot diverge:
+        - snapshot hits under ``_cache_lock`` (+ LRU touch), so a
+          concurrent eviction between phases cannot drop this call's
+          values from its own result;
+        - ONE fetch for all misses OUTSIDE the lock (cold calls must
+          not serialize each other on the Spark job);
+        - inserts under the lock, skipped for keys a concurrent call
+          already inserted (no double-counted budget) and gated on
+          ``_closed`` (teardown must not leak re-inserted entries);
+        - oldest-first eviction that NEVER evicts the current call's
+          keys (the r1 eviction-drops-current-terms bug class)."""
+        current = set(keys)
         with self._cache_lock:
-            have = {
-                t: self._block_cache[t] for t in terms if t in self._block_cache
-            }
-            for t in have:
-                self._block_cache.move_to_end(t)  # LRU recency
-        missing = [t for t in terms if t not in have]
+            have = {k: cache[k] for k in current if k in cache}
+            for k in have:
+                cache.move_to_end(k)  # LRU recency
+        missing = [k for k in keys if k not in have]
         if missing:
-            fetched = self.ix.blocks.filter(F.col("term").isin(missing)).collect()
-            by_term: dict[str, list] = {t: [] for t in missing}
-            for r in fetched:
-                by_term[r["term"]].append(r)
+            fetched = fetch_fn(missing)
             with self._cache_lock:
-                for t in missing:
-                    # a concurrent query may have inserted t meanwhile —
-                    # inserting again would double-count its postings;
-                    # after close() nothing may be (re-)inserted at all
-                    if not self._closed and t not in self._block_cache:
-                        self._block_cache[t] = by_term[t]
-                        self._block_cache_postings += sum(
-                            r["n_docs"] for r in by_term[t]
+                for k, v in fetched.items():
+                    if not self._closed and k not in cache:
+                        cache[k] = v
+                        setattr(
+                            self, size_attr, getattr(self, size_attr) + sizer(v)
                         )
-                    if t in self._block_cache:
-                        self._block_cache.move_to_end(t)
-                while (
-                    self._block_cache_postings
-                    > spec.DRIVER_BLOCK_CACHE_MAX_POSTINGS
-                    and any(t not in current for t in self._block_cache)
+                    if k in cache:
+                        cache.move_to_end(k)
+                while getattr(self, size_attr) > budget and any(
+                    k not in current for k in cache
                 ):
-                    victim = next(
-                        t for t in self._block_cache if t not in current
+                    victim = next(k for k in cache if k not in current)
+                    setattr(
+                        self,
+                        size_attr,
+                        getattr(self, size_attr) - sizer(cache.pop(victim)),
                     )
-                    dropped = self._block_cache.pop(victim)
-                    self._block_cache_postings -= sum(
-                        r["n_docs"] for r in dropped
-                    )
-            have.update(by_term)
+            have.update(fetched)
+        return have
+
+    def _blocks_for_terms(self, terms: list[str]) -> list:
+        """Collected block rows for the query terms through the bounded
+        per-term LRU (``_cached_fetch``): misses run ONE pruned scan for
+        all missing terms; hits cost nothing; terms absent from the
+        index cache as empty lists so they are never re-scanned."""
+
+        def fetch(missing: list[str]) -> dict[str, list]:
+            by_term: dict[str, list] = {t: [] for t in missing}
+            for r in self.ix.blocks.filter(
+                F.col("term").isin(missing)
+            ).collect():
+                by_term[r["term"]].append(r)
+            return by_term
+
+        have = self._cached_fetch(
+            self._block_cache,
+            "_block_cache_postings",
+            spec.DRIVER_BLOCK_CACHE_MAX_POSTINGS,
+            terms,
+            lambda rows: sum(r["n_docs"] for r in rows),
+            fetch,
+        )
         return [r for t in terms for r in have[t]]
 
     def close(self) -> None:
@@ -421,6 +443,11 @@ class SearchEngine:
         if not raw:
             raise SearchError("query contains only stop words or garbage")
         terms = self.filter_query_terms(raw)
+        if limit <= 0:
+            # an empty pagination window can never return rows — fail
+            # exactly like the exhausted relaxation cascade below,
+            # without paying a top-k + block fetch per dropped term
+            raise SearchError(f"nothing found for query {query!r}")
         repos = [repo] if repo is not None else None
 
         # Relaxation triggers on an empty PAGINATED slice, exactly like
@@ -478,67 +505,44 @@ class SearchEngine:
 
     # ---------------------------------------------------- Q8/Q9/Q10/Q11
     def _content_for_ids(self, ids: list) -> dict:
-        """Content rows for the result window through a bounded LRU
-        keyed by doc_id — the document-store hot cache every serving
-        search engine keeps in front of its content fetch. Same
-        thread-safety protocol as _blocks_for_terms: snapshot under
-        ``_cache_lock``, ONE Spark fetch for the misses outside it
-        (cold queries must not serialize each other), insert under the
-        lock gated on ``_closed``. Budgeted in content bytes
-        (spec.DRIVER_CONTENT_CACHE_MAX_BYTES); eviction is oldest-first
-        and never evicts the current window's docs. Docs absent from
-        the content source (e.g. deleted) are simply not returned —
-        they are re-probed next time, never negatively cached."""
+        """Content rows for the result window through a bytes-bounded
+        LRU keyed by doc_id (``_cached_fetch``) — the document-store
+        hot cache every serving search engine keeps in front of its
+        content fetch. Docs absent from the content source (e.g.
+        deleted) are simply not returned — they are re-probed next
+        time, never negatively cached."""
 
         def _row_bytes(r) -> int:
-            return len(r["content"] or "") + len(r["path"] or "") + 64
+            # UTF-8 bytes, not str characters (CJK ≈ 3 bytes/char),
+            # plus the optional title and ~per-entry Row/str object
+            # overhead — the budget must track real driver heap
+            n = 96 + len((r["content"] or "").encode("utf-8"))
+            n += len((r["path"] or "").encode("utf-8"))
+            if "title" in r.__fields__ and r["title"]:
+                n += len(r["title"].encode("utf-8"))
+            return n
 
-        current = set(ids)
-        with self._cache_lock:
-            have = {
-                i: self._content_cache[i]
-                for i in current
-                if i in self._content_cache
-            }
-            for i in have:
-                self._content_cache.move_to_end(i)  # LRU recency
-        missing = [i for i in ids if i not in have]
-        if missing:
+        def fetch(missing: list) -> dict:
             if self._store is not None:
                 # pruned point lookup: bucket partition pruning + doc_id
                 # row-group min/max pruning (content_store.py)
-                fetched = self._store.fetch(missing)
-            else:
-                # k rows: id-list filter against the persisted corpus scan
-                fetched = {
-                    r["doc_id"]: r
-                    for r in self._content.filter(
-                        F.col("doc_id").isin(missing)
-                    ).collect()
-                }
-            with self._cache_lock:
-                for i, r in fetched.items():
-                    # a concurrent query may have inserted i meanwhile —
-                    # inserting again would double-count its bytes;
-                    # after close() nothing may be (re-)inserted at all
-                    if not self._closed and i not in self._content_cache:
-                        self._content_cache[i] = r
-                        self._content_cache_bytes += _row_bytes(r)
-                    if i in self._content_cache:
-                        self._content_cache.move_to_end(i)
-                while (
-                    self._content_cache_bytes
-                    > spec.DRIVER_CONTENT_CACHE_MAX_BYTES
-                    and any(i not in current for i in self._content_cache)
-                ):
-                    victim = next(
-                        i for i in self._content_cache if i not in current
-                    )
-                    self._content_cache_bytes -= _row_bytes(
-                        self._content_cache.pop(victim)
-                    )
-            have.update(fetched)
-        return have
+                return self._store.fetch(missing)
+            # k rows: id-list filter against the persisted corpus scan
+            return {
+                r["doc_id"]: r
+                for r in self._content.filter(
+                    F.col("doc_id").isin(missing)
+                ).collect()
+            }
+
+        return self._cached_fetch(
+            self._content_cache,
+            "_content_cache_bytes",
+            spec.DRIVER_CONTENT_CACHE_MAX_BYTES,
+            ids,
+            _row_bytes,
+            fetch,
+        )
 
     def _assemble(self, window, terms: list[str]) -> list[tuple]:
         if not window:

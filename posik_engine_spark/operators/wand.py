@@ -78,6 +78,17 @@ def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = Non
     tfc = codec.decode_counts(b"".join(bpdf["tfc"].tolist()))
     lenp = codec.decode_counts(b"".join(bpdf["lenp"].tolist()))
     lenc = codec.decode_counts(b"".join(bpdf["lenc"].tolist()))
+    lens = np.array([len(x) for x in ids_parts], dtype=np.int64)
+    n_post = int(lens.sum())
+    if not (len(tfp) == len(tfc) == len(lenp) == len(lenc) == n_post):
+        # per-block decode caught a truncated buffer via its final
+        # continuation bit; in a concatenated stream a mid-stream
+        # truncation merges into the next block's varints instead —
+        # the total count is the restored detector
+        raise ValueError(
+            "posting block count streams misaligned with doc ids "
+            "(corrupt posting block)"
+        )
     ubk = kernel_np(
         bpdf["max_tfp"].to_numpy(np.int64),
         bpdf["max_tfc"].to_numpy(np.int64),
@@ -85,7 +96,6 @@ def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = Non
         bpdf["min_lenc"].to_numpy(np.int64),
         avgdl,
     )
-    lens = np.array([len(x) for x in ids_parts], dtype=np.int64)
     return (
         np.concatenate(ids_parts),
         tfp,

@@ -150,6 +150,21 @@ def test_scoped_shard_with_no_scope_docs_returns_empty():
         assert list(out.columns) == ["doc_id", "score"]
 
 
+def test_truncated_count_stream_detected():
+    """A count buffer truncated mid-stream must fail loudly: the
+    batched concatenated decode merges a dangling continuation byte
+    into the NEXT block's varints (the per-block decode's final-byte
+    check cannot see it), so the count-vs-docid alignment check is the
+    detector that keeps corrupt blocks from scoring silently wrong."""
+    import pytest
+
+    shard = _shard()
+    i = shard.index[shard["term"] == "hot"][2]  # a middle block
+    shard.loc[i, "tfc"] = shard.loc[i, "tfc"][:-1]
+    with pytest.raises(ValueError, match="corrupt posting block"):
+        wand.shard_topk(shard, None, ["hot"], {"hot": IDFS["hot"]}, AVGDL, 10)
+
+
 def test_shard_topk_k_zero_returns_empty():
     """k=0 (an empty pagination window) must return the empty frame —
     the kth-score selection (np.partition at len-k) assumes k >= 1 and
