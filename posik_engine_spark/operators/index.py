@@ -2,17 +2,35 @@
 
 Layout (document-partitioned, the classic distributed-IR design):
 - ``blocks``: one row per (shard, term, block_id) — up to BLOCK_SIZE
-  postings per block, doc_ids delta+varint, tfs varint, per-block
-  integer score bounds for block-max pruning (north rule). Docs are sharded by
-  pmod(doc_id, n_shards), so every shard is a complete mini-index over
-  its own documents and top-k runs shard-locally with a driver merge.
+  postings per block, postings identified by DENSE PER-SHARD ORDINALS
+  (delta+varint: ~1-2 bytes/posting vs ~8-9 for raw xxhash64 ids), tfs
+  varint, per-block integer score bounds for block-max pruning (north
+  rule). Docs are sharded by pmod(doc_id, n_shards), so every shard is
+  a complete mini-index over its own documents and top-k runs
+  shard-locally with a driver merge.
 - ``doc_stats``: narrow per-doc metadata (lens for BM25, repo for
-  scoping, content_sha for the per-row invariant) — the analog of the
-  reference's page table minus content
+  scoping, content_sha for the per-row invariant) PLUS ``ord`` — the
+  shard-local ordinal, rank of (repo, path, doc_id) within the shard.
+  This is the Lucene docvalues analog: intersect/score on ordinals,
+  map the final top-k back to external doc_ids through this table.
+  The analog of the reference's page table minus content
   (/root/reference/.../model/Page.java:16-45).
 - ``term_stats``: term -> df/ctf (the lemma dictionary analog,
   /root/reference/.../model/Lemma.java:18-43).
 - ``meta``: exact int corpus totals (CorpusMeta).
+
+Why ordinals (round-4 layout): xxhash64 doc_ids are uniform over
+int64, so sorted-run deltas averaged 2^64/n ≈ 8-9 varint bytes per
+posting, and block [min, max] ranges over a hash space have no
+locality, which neutralized block-range pruning (bench r3:
+decode_ratio 0.9999). Ordinals ordered by (repo, path) make deltas
+≈ n_docs_in_shard/df (1-2 bytes) and give blocks repo/path locality:
+a term concentrated in few repos occupies narrow ordinal ranges, so
+the AND intersection actually skips blocks, and a repo scope filter
+becomes a contiguous ordinal range. Scores never depend on ids, and
+the final global tie-break still uses the external doc_id (per-shard
+results keep score ties and are resolved before the k-cut), so rank
+identity vs the oracle is unchanged.
 
 Scale notes: the grouped-map encode shuffles once on (term, shard) —
 the shard key IS the hot-term salt (a term in every doc still splits
@@ -38,7 +56,7 @@ from posik_engine_spark.operators import build as B
 
 BLOCKS_SCHEMA = (
     "term string, shard int, block_id int, n_docs int, "
-    "doc_id_min long, doc_id_max long, "
+    "ord_min long, ord_max long, "
     "max_tfp int, max_tfc int, min_lenp int, min_lenc int, "
     "docs binary, tfp binary, tfc binary, lenp binary, lenc binary"
 )
@@ -48,8 +66,9 @@ BLOCKS_SCHEMA = (
 # changes count: an incremental update mixing token regimes across
 # shards silently violates rank identity (df/idf stats and postings
 # disagree on what a token is). v2 = inline lenp/lenc norms; v3 = 1->N
-# whole-identifier expansion (functions/tokenizer.py).
-INDEX_FORMAT_VERSION = 3
+# whole-identifier expansion (functions/tokenizer.py); v4 = dense
+# per-shard ordinals in the posting blocks + ``ord`` in doc_stats.
+INDEX_FORMAT_VERSION = 4
 
 
 def kernel_np(
@@ -64,28 +83,80 @@ def kernel_np(
     )
 
 
-def build_blocks(tf: DataFrame, block_size: int = spec.BLOCK_SIZE) -> DataFrame:
-    """term_freqs -> compressed posting blocks via grouped-map UDF.
+def with_ord(ds: DataFrame) -> DataFrame:
+    """Attach the shard-local dense ordinal: rank of (repo, path,
+    doc_id) within the shard, 0-based. The SINGLE definition of the
+    ordinal — the block encoder consumes exactly this column, so the
+    posting ids and the doc_stats mapping can never disagree. A narrow
+    window over the slim registry (one shuffle+sort of per-doc
+    metadata rows — never content); deterministic, so an incremental
+    rebuild of a shard reproduces a full rebuild's ordinals
+    byte-for-byte."""
+    from pyspark.sql import Window
 
-    Blocks are a PURE function of the (shard, term) posting rows — no
-    corpus-global float (avgdl/idf) is baked in. The block-max bound is
-    stored as integers (max field tfs, min field lens); the query side
-    derives ub_kernel = kernel(max_tfp, max_tfc, min_lenp, min_lenc,
-    current_avgdl), which dominates every doc's kernel in the block
-    (kernel is monotone up in wtf, down in dl). This keeps incremental
-    rebuilds shard-local: corpus stats may drift without invalidating
-    untouched shards' blocks (SURVEY.md §2 B8).
+    w = Window.partitionBy("shard").orderBy("repo", "path", "doc_id")
+    return ds.withColumn("ord", (F.row_number().over(w) - 1).cast("long"))
+
+
+def build_blocks(
+    tf: DataFrame, doc_ord: DataFrame, block_size: int = spec.BLOCK_SIZE
+) -> DataFrame:
+    """(term_freqs, doc_stats[shard, doc_id, ord]) -> compressed posting
+    blocks via a cogrouped-map UDF on shard. The tf side pays the same
+    single shuffle the encode always paid; the ordinal side is the slim
+    per-doc registry (3 int columns).
+
+    Postings are encoded as ORDINALS (see module docstring): inside the
+    task, doc_id -> ord is one vectorized searchsorted over the shard's
+    registry, postings sort by (term, ord), deltas average
+    n_docs_in_shard/df ≈ 1-2 varint bytes.
+
+    Blocks are a PURE function of the shard's posting rows + doc set —
+    no corpus-global float (avgdl/idf) is baked in. The block-max bound
+    is stored as integers (max field tfs, min field lens); the query
+    side derives ub_kernel = kernel(max_tfp, max_tfc, min_lenp,
+    min_lenc, current_avgdl), which dominates every doc's kernel in the
+    block (kernel is monotone up in wtf, down in dl). This keeps
+    incremental rebuilds shard-local: corpus stats may drift without
+    invalidating untouched shards' blocks (SURVEY.md §2 B8).
     """
 
-    def encode_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        # ONE grouped-map task per shard (not per term): at huge-vocab
+    def encode_shard(
+        key: tuple, pdf: pd.DataFrame, ord_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        # ONE cogrouped-map task per shard (not per term): at huge-vocab
         # scale, per-(term,shard) Arrow groups cost more in group
         # machinery than in encoding; term segmentation is a vectorized
         # sort + boundary scan instead
+        cols = [
+            "term", "shard", "block_id", "n_docs", "ord_min", "ord_max",
+            "max_tfp", "max_tfc", "min_lenp", "min_lenc",
+            "docs", "tfp", "tfc", "lenp", "lenc",
+        ]
+        if not len(pdf):
+            return pd.DataFrame(columns=cols)
         shard = int(key[0])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        terms = pdf["term"].to_numpy()
+        # doc_id -> ord, vectorized: sort the registry once, then one
+        # searchsorted over all posting rows
+        reg_ids = ord_pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(reg_ids, kind="mergesort")
+        reg_ids = reg_ids[order]
+        reg_ords = ord_pdf["ord"].to_numpy(np.int64)[order]
         ids = pdf["doc_id"].to_numpy(np.int64)
+        pos = np.searchsorted(reg_ids, ids)
+        ok = (pos < len(reg_ids)) & (
+            reg_ids[np.minimum(pos, max(len(reg_ids) - 1, 0))] == ids
+        )
+        if not ok.all():
+            raise ValueError(
+                f"build_blocks shard {shard}: {int((~ok).sum())} posting "
+                f"rows reference doc_ids absent from the shard registry "
+                f"(tf and doc_stats out of sync)"
+            )
+        pdf = pdf.assign(ord=reg_ords[pos])
+        pdf = pdf.sort_values(["term", "ord"], kind="mergesort")
+        terms = pdf["term"].to_numpy()
+        ords = pdf["ord"].to_numpy(np.int64)
         tfp = pdf["tf_path"].to_numpy(np.int64)
         tfc = pdf["tf_content"].to_numpy(np.int64)
         lenp = pdf["len_path"].to_numpy(np.int64)
@@ -99,7 +170,7 @@ def build_blocks(tf: DataFrame, block_size: int = spec.BLOCK_SIZE) -> DataFrame:
             term = terms[s]
             for b0 in range(s, e, block_size):
                 b1 = min(b0 + block_size, e)
-                bi = ids[b0:b1]
+                bi = ords[b0:b1]
                 rows.append(
                     (
                         term,
@@ -117,22 +188,18 @@ def build_blocks(tf: DataFrame, block_size: int = spec.BLOCK_SIZE) -> DataFrame:
                         codec.encode_counts(tfc[b0:b1]),
                         # per-doc field lengths inline (Lucene-norms
                         # style): unscoped queries never touch
-                        # doc_stats — single-input grouped map, no
-                        # cogroup
+                        # doc_stats until the final top-k id resolution
                         codec.encode_counts(lenp[b0:b1]),
                         codec.encode_counts(lenc[b0:b1]),
                     )
                 )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "term", "shard", "block_id", "n_docs", "doc_id_min", "doc_id_max",
-                "max_tfp", "max_tfc", "min_lenp", "min_lenc",
-                "docs", "tfp", "tfc", "lenp", "lenc",
-            ],
-        )
+        return pd.DataFrame(rows, columns=cols)
 
-    return tf.groupBy("shard").applyInPandas(encode_shard, BLOCKS_SCHEMA)
+    return (
+        tf.groupBy("shard")
+        .cogroup(doc_ord.select("shard", "doc_id", "ord").groupBy("shard"))
+        .applyInPandas(encode_shard, BLOCKS_SCHEMA)
+    )
 
 
 @dataclass
@@ -203,8 +270,8 @@ def build_index(
             tf = tf.cache()
         meta = B.corpus_meta(prepared)
         stats = B.term_stats(tf)
-        blocks = build_blocks(tf)
-        ds = B.doc_stats(prepared)
+        ds = with_ord(B.doc_stats(prepared))
+        blocks = build_blocks(tf, ds)
         if cache:
             blocks = blocks.cache()
             ds = ds.cache()
@@ -224,10 +291,12 @@ def save_index(ix: Index, path: str) -> None:
         .parquet(os.path.join(path, "blocks"))
     )
     (
-        # repo-sorted files: repo-scoped probes and incremental stale
-        # lookups push ``repo IN (...)`` down to row-group pruning
+        # ord-sorted files (== (repo, path, doc_id) order by
+        # construction): repo-scoped probes and incremental stale
+        # lookups push ``repo IN (...)`` down to row-group pruning, and
+        # the top-k ord -> doc_id resolution probes prune on ord min/max
         ix.doc_stats.repartition("shard")
-        .sortWithinPartitions("repo", "path")
+        .sortWithinPartitions("ord")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(os.path.join(path, "doc_stats"))

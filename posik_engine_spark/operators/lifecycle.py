@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from posik_engine_spark import spec
 from posik_engine_spark.operators import build as B
-from posik_engine_spark.operators.index import Index, build_blocks
+from posik_engine_spark.operators.index import Index, build_blocks, with_ord
 
 DOC_KEY = ["repo", "path", "commit", "content_sha"]
 
@@ -71,22 +71,48 @@ def _commit_marker(out_dir: str, name: str) -> None:
         f.write(str(time.time()))
 
 
+def _pointer_update(out_dir: str, record: dict) -> None:
+    """Maintain the O(1) `_latest.json` pointer to the chronologically
+    latest record so build_status() (hit by every statistics() call)
+    never has to list + parse the whole lineage dir, which gains one
+    file per streaming micro-batch and grows without bound over a
+    stream's lifetime.
+
+    The compare+replace is guarded by an flock'd lock file: two writers
+    on one dir (a streaming sink micro-batch and a concurrent
+    recover/replay in another process) could otherwise interleave the
+    read and the replace so the pointer regresses to an older record —
+    round-3 advisor finding. Lock scope is just this tiny
+    read-compare-write; the lineage record files themselves are
+    append-only and need no lock."""
+    d = os.path.join(out_dir, "_lineage")
+    os.makedirs(d, exist_ok=True)
+    lock_path = os.path.join(d, "_latest.lock")
+    lf = open(lock_path, "a")
+    try:
+        try:
+            import fcntl
+
+            fcntl.flock(lf, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: best-effort, original behavior
+            pass
+        latest = _latest_lineage(out_dir, scan_fallback=False)
+        if latest is None or record["finished_at"] >= latest["finished_at"]:
+            tmp = os.path.join(d, "_latest.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(record, f)
+            os.replace(tmp, os.path.join(d, "_latest.json"))
+    finally:
+        lf.close()  # releases the flock
+
+
 def _lineage_write(out_dir: str, record: dict) -> None:
     d = os.path.join(out_dir, "_lineage")
     os.makedirs(d, exist_ok=True)
     fname = f"{record['stage']}-{record['attempt_ts']:.6f}.json"
     with open(os.path.join(d, fname), "w") as f:
         json.dump(record, f)
-    # maintain an O(1) pointer to the chronologically-latest record so
-    # build_status() (hit by every statistics() call) never has to list
-    # + parse the whole lineage dir, which gains one file per streaming
-    # micro-batch and grows without bound over a stream's lifetime.
-    latest = _latest_lineage(out_dir, scan_fallback=False)
-    if latest is None or record["finished_at"] >= latest["finished_at"]:
-        tmp = os.path.join(d, "_latest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(record, f)
-        os.replace(tmp, os.path.join(d, "_latest.json"))
+    _pointer_update(out_dir, record)
 
 
 def _latest_lineage(out_dir: str, scan_fallback: bool = True) -> dict | None:
@@ -166,13 +192,24 @@ def build_status(out_dir: str | None) -> dict:
     # appended one lineage record per micro-batch for days (legacy dirs
     # fall back to the full scan, chronologically sorted)
     last = _latest_lineage(out_dir)
+    ts = last["finished_at"] if last is not None else None
+    # in-flight work supersedes the last finished attempt's state: a
+    # retry actively running after a failed attempt writes a RUNNING
+    # pointer at stage START (the reference sets the site INDEXING at
+    # crawl start), so the same statistics() payload can never say
+    # status=FAILED while total.isIndexing=true — round-3 advisor
+    # finding. An idle dir whose last attempt failed still reports
+    # FAILED (partial markers alone are not evidence of live work; a
+    # hard-killed process leaves a stale RUNNING pointer until the
+    # next attempt writes over it — files cannot prove liveness).
+    if last is not None and last["state"] == "RUNNING":
+        return {"status": "INDEXING", "status_time": ts, "error": None}
     if last is not None and last["state"] == "FAILED":
         return {
             "status": "FAILED",
             "status_time": last["finished_at"],
             "error": last["error"],
         }
-    ts = last["finished_at"] if last is not None else None
     if is_indexing(out_dir):
         return {"status": "INDEXING", "status_time": ts, "error": None}
     return {"status": "INDEXED", "status_time": ts, "error": None}
@@ -189,6 +226,24 @@ class _Stage:
 
     def __enter__(self):
         self.t0 = time.time()
+        # RUNNING pointer at stage START (pointer only — read_lineage
+        # and counters() must see finished attempts, not heartbeats):
+        # statistics() polled during a retry after a failed attempt
+        # reports INDEXING, never a stale FAILED (the reference flips
+        # the site to INDEXING at crawl start)
+        _pointer_update(
+            self.out_dir,
+            {
+                "stage": self.stage,
+                "partition_ids": self.partition_ids,
+                "state": "RUNNING",
+                "started_at": self.t0,
+                "finished_at": self.t0,
+                "attempt_ts": self.t0,
+                "error": None,
+                "counters": {},
+            },
+        )
         return self
 
     def __exit__(self, exc_type, exc, tb):
@@ -409,16 +464,18 @@ class IndexBuilder:
                 sort_cols=["shard", "term", "doc_id"],
             )
             self.backend.write(
-                B.doc_stats(prepared).observe(
+                with_ord(B.doc_stats(prepared)).observe(
                     ds_obs, F.count(F.lit(1)).alias("docs")
                 ),
                 self.doc_stats_path,
                 partition_col="shard",
                 n_partitions=self.n_shards,
-                # repo-sorted files: incremental updates and repo-scoped
-                # queries probe doc_stats by repo — row-group min/max on
-                # a sorted column makes those reads skip everything else
-                sort_cols=["shard", "repo", "path"],
+                # ord-sorted files (== (repo, path, doc_id) order by
+                # construction): incremental updates and repo-scoped
+                # queries probe doc_stats by repo, and top-k resolution
+                # probes by ord — row-group min/max on the sorted
+                # columns make both reads skip everything else
+                sort_cols=["shard", "ord"],
             )
             prepared.unpersist()
             st.counters["docs_tokenized"] = int(ds_obs.get["docs"])
@@ -473,6 +530,7 @@ class IndexBuilder:
     def _stage_blocks(self, fail_after_batch: int | None = None) -> None:
         batches = _shard_batches(self.n_shards, self.shard_batches)
         tf = self.backend.read(self.spark, self.tf_path)
+        ds = self.backend.read(self.spark, self.doc_stats_path)
         for i, shard_ids in enumerate(batches):
             stage = f"blocks_batch_{i:04d}"
             if _done(self.out_dir, stage):
@@ -487,10 +545,17 @@ class IndexBuilder:
                 part = tf.filter(F.col("shard").isin(shard_ids)).repartition(
                     max(1, len(shard_ids)), "shard"
                 )
-                blk_obs = Observation(f"blocks_{i}")
-                blocks = build_blocks(part, block_size=self.block_size).observe(
-                    blk_obs, F.count(F.lit(1)).alias("blocks")
+                # ordinal side: the slim registry of the same shards
+                # (ord was persisted by the prepare stage — the SAME
+                # values doc_stats serves, so postings and the mapping
+                # cannot diverge across a resume boundary)
+                ords = ds.filter(F.col("shard").isin(shard_ids)).select(
+                    "shard", "doc_id", "ord"
                 )
+                blk_obs = Observation(f"blocks_{i}")
+                blocks = build_blocks(
+                    part, ords, block_size=self.block_size
+                ).observe(blk_obs, F.count(F.lit(1)).alias("blocks"))
                 # stage + promote, NOT a raw append: a crash in the
                 # window between a raw append's job commit and the
                 # marker write would re-append the whole batch on
@@ -656,10 +721,14 @@ class IndexBuilder:
             stale_id_df, "doc_id", "left_anti"
         )
         merged_tf = kept_tf.unionByName(B.term_freqs(prepared_new))
-        kept_ds = old_ds.filter(F.col("shard").isin(affected)).join(
+        # ordinals are per-shard ranks over the shard's doc SET, so a
+        # membership change reassigns them: drop the old ord and
+        # recompute over the merged registry (affected shards only —
+        # untouched shards' ords, blocks and doc_stats stay valid)
+        kept_ds = old_ds.drop("ord").filter(F.col("shard").isin(affected)).join(
             stale_id_df, "doc_id", "left_anti"
         )
-        merged_ds = kept_ds.unionByName(B.doc_stats(prepared_new))
+        merged_ds = with_ord(kept_ds.unionByName(B.doc_stats(prepared_new)))
 
         # ---- delta-maintained derived tables: term_stats and meta are
         # updated from the CHANGED rows only — O(batch + vocab) instead
@@ -724,11 +793,14 @@ class IndexBuilder:
                 ),
                 "doc_stats": self.backend.stage_partitions(
                     merged_ds, self._staging("doc_stats"), "shard", affected,
-                    sort_cols=["repo", "path"],  # keep the repo-pruned layout
+                    sort_cols=["ord"],  # keep the ord≡repo-pruned layout
                 ),
             }
             new_blocks = build_blocks(
                 self.backend.read(spark, self._staging("tf")),
+                self.backend.read(spark, self._staging("doc_stats")).select(
+                    "shard", "doc_id", "ord"
+                ),
                 block_size=self.block_size,
             )
             staged_ids["blocks"] = self.backend.stage_partitions(

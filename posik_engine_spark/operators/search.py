@@ -195,6 +195,23 @@ class SearchEngine:
         # fully-warm repeat query serves end-to-end without any job.
         self._content_cache: OrderedDict[int, object] = OrderedDict()
         self._content_cache_bytes = 0
+        # bounded LRU over (shard, ord) -> doc_id rows
+        # (spec.DRIVER_DOCMETA_CACHE_MAX_ROWS budget): the driver-WAND
+        # path resolves its <= ~k surviving ordinals to external
+        # doc_ids for the global tie-break — hot result docs resolve
+        # with zero Spark jobs, keeping the fully-warm repeat query
+        # end-to-end job-free
+        self._docmeta_cache: OrderedDict[tuple, int] = OrderedDict()
+        self._docmeta_cache_rows = 0
+        # statistics() snapshot memo: (snapshot_token, per_repo_rows,
+        # lemmas_map, total_lemmas). The corpus-wide aggregates (pages
+        # and distinct lemmas per repo) are recomputed only when the
+        # backing snapshot changes — dashboards poll statistics(), and
+        # the reference's analog is a cheap DB count. Builder dirs key
+        # on the latest lineage attempt (an incremental commit writes a
+        # new record → invalidation); in-memory engines serve one
+        # immutable snapshot and memoize forever.
+        self._stats_memo: tuple | None = None
         self._closed = False
         # guards _term_cache/_block_cache under concurrent searches on
         # one engine (the serving shape — the reference is a concurrent
@@ -320,8 +337,27 @@ class SearchEngine:
         # must not materialize that repo's doc table on the coordinator).
         if repos is None and sum(dfs.values()) <= spec.DRIVER_WAND_MAX_POSTINGS:
             rows = self._blocks_for_terms(terms)
-            return wand_topk_driver(self.ix, idfs, dfs, k, rows=rows)
+            return wand_topk_driver(
+                self.ix, idfs, dfs, k, rows=rows,
+                resolver=self._docids_for_keys,
+            )
         return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
+
+    def _docids_for_keys(self, keys: list[tuple[int, int]]) -> dict:
+        """(shard, ord) -> doc_id for the driver-WAND survivors through
+        a row-count-bounded LRU (``_cached_fetch``): misses run ONE
+        pruned doc_stats point lookup (shard partition + ord row-group
+        pruning); hits cost nothing."""
+        from posik_engine_spark.operators.wand import _resolve_ords_spark
+
+        return self._cached_fetch(
+            self._docmeta_cache,
+            "_docmeta_cache_rows",
+            spec.DRIVER_DOCMETA_CACHE_MAX_ROWS,
+            keys,
+            lambda _v: 1,
+            lambda missing: _resolve_ords_spark(self.ix, missing),
+        )
 
     def _cached_fetch(
         self,
@@ -419,6 +455,9 @@ class SearchEngine:
             self._block_cache_postings = 0
             self._content_cache.clear()
             self._content_cache_bytes = 0
+            self._docmeta_cache.clear()
+            self._docmeta_cache_rows = 0
+            self._stats_memo = None
         for df in (
             self.ix.blocks, self.ix.doc_stats, self.ix.term_stats, self._content
         ):
@@ -439,15 +478,16 @@ class SearchEngine:
         t_start = time.time()
         if query is None or not query.strip():
             raise SearchError("empty query")
+        if limit <= 0:
+            # invalid pagination argument, rejected BEFORE tokenization
+            # and the dictionary probe (on the big-vocab path the probe
+            # is a Spark job) — and as user error, not the
+            # nothing-found result the relaxation cascade reports
+            raise SearchError(f"invalid limit {limit}: must be >= 1")
         raw = self._q_tokens(query)
         if not raw:
             raise SearchError("query contains only stop words or garbage")
         terms = self.filter_query_terms(raw)
-        if limit <= 0:
-            # an empty pagination window can never return rows — fail
-            # exactly like the exhausted relaxation cascade below,
-            # without paying a top-k + block fetch per dropped term
-            raise SearchError(f"nothing found for query {query!r}")
         repos = [repo] if repo is not None else None
 
         # Relaxation triggers on an empty PAGINATED slice, exactly like
@@ -582,6 +622,21 @@ class SearchEngine:
         return out
 
     # ------------------------------------------------------- A1-A4
+    def _snapshot_token(self):
+        """Identity of the index snapshot backing the corpus-wide
+        statistics aggregates: the latest lineage attempt for builder
+        dirs (a build/incremental/streaming commit writes a new record
+        → the memo invalidates), a constant for in-memory engines (one
+        immutable snapshot for the engine's lifetime)."""
+        if self._index_dir is None:
+            return ("immutable",)
+        from posik_engine_spark.operators.lifecycle import _latest_lineage
+
+        rec = _latest_lineage(self._index_dir)
+        if rec is None:
+            return ("no-lineage",)
+        return (rec["stage"], rec["attempt_ts"], rec["state"])
+
     def _per_repo_lemmas(self) -> dict[str, int]:
         """repo -> distinct term count (reference per-site lemma count,
         repositories/LemmaRepository.java:13 consumed by
@@ -655,27 +710,40 @@ class SearchEngine:
         == url == the repo identifier (repos have no display name).
         In-memory engines (from_docs) have no builder state: INDEXED,
         no timestamp, isIndexing False."""
-        per_repo = (
-            self.ix.doc_stats.groupBy("repo")
-            .count()
-            .orderBy("repo")
-            .collect()
-        )
         from posik_engine_spark.operators.lifecycle import build_status, is_indexing
 
         st = build_status(self._index_dir)
-        lemmas = self._per_repo_lemmas()
+        token = self._snapshot_token()
+        with self._cache_lock:
+            memo = self._stats_memo
+        if memo is not None and memo[0] == token:
+            _, per_repo, lemmas, total_lemmas = memo
+        else:
+            # Spark jobs outside the lock (concurrent statistics()
+            # calls must not serialize); last writer wins — both
+            # computed the same snapshot's values
+            per_repo = (
+                self.ix.doc_stats.groupBy("repo")
+                .count()
+                .orderBy("repo")
+                .collect()
+            )
+            lemmas = self._per_repo_lemmas()
+            # complete driver dictionaries answer from memory — no
+            # Spark job per statistics() call (round-2 minor note)
+            total_lemmas = (
+                len(self._term_cache)
+                if self._dict_complete
+                else self.ix.term_stats.count()
+            )
+            with self._cache_lock:
+                if not self._closed:
+                    self._stats_memo = (token, per_repo, lemmas, total_lemmas)
         return {
             "total": {
                 "sites": len(per_repo),
                 "pages": self.ix.meta.n_docs,
-                # complete driver dictionaries answer from memory — no
-                # Spark job per statistics() call (round-2 minor note)
-                "lemmas": (
-                    len(self._term_cache)
-                    if self._dict_complete
-                    else self.ix.term_stats.count()
-                ),
+                "lemmas": total_lemmas,
                 "isIndexing": (
                     is_indexing(self._index_dir)
                     if self._index_dir is not None

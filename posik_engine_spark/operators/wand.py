@@ -7,7 +7,7 @@ three pruning levers of the north rule:
 1. rarest-first posting intersection (reference orders lemmas by
    frequency ascending, repositories/LemmaRepository.java:27): the
    shortest list seeds the candidate set; subsequent lists only decode
-   blocks whose [doc_id_min, doc_id_max] overlaps surviving candidates;
+   blocks whose [ord_min, ord_max] overlaps surviving candidates;
 2. block-max upper bounds: per-candidate ub = Σ_t idf_t *
    kernel(max_tfp, max_tfc, min_lenp, min_lenc, avgdl) of the block
    containing the doc — a valid upper bound because the kernel is
@@ -17,12 +17,24 @@ three pruning levers of the north rule:
    ub, the remainder cannot enter the top-k (ties lose by the strict
    inequality), so scoring stops.
 
+Postings are DENSE PER-SHARD ORDINALS ordered by (repo, path) —
+operators/index.py module docstring — so block ranges have locality
+and lever 1 actually fires on real corpora. Scores never depend on
+ids; the global tie-break needs the EXTERNAL doc_id, so every
+per-shard kernel keeps ALL candidates tied at its kth score (any doc
+it drops has >= k strictly-better docs in its own shard and can never
+enter the global top-k), and the ord -> doc_id resolution happens
+once, on those <= ~k survivors, before the final (score desc, doc_id
+asc) cut.
+
 Execution model: each shard is a complete mini-index over its docs, and
 blocks carry per-doc field lengths inline (Lucene-norms style), so an
 unscoped query is ONE single-input grouped-map UDF over the blocks of
 the query terms — doc_stats is only cogrouped in when a repo scope
-filter needs doc→repo. Per-shard top-k heaps merge on the driver via
-TakeOrderedAndProject — no cross-shard shuffle of postings, ever.
+filter needs ord→repo; the ord → doc_id resolution of the <= ~k
+survivors is a broadcast join (distributed path) or a cached driver
+point lookup (serving path). Per-shard top-k heaps merge on the driver
+via TakeOrderedAndProject — no cross-shard shuffle of postings, ever.
 """
 
 from __future__ import annotations
@@ -35,7 +47,7 @@ from pyspark.sql import functions as F
 from posik_engine_spark import spec
 from posik_engine_spark.operators.index import Index, kernel_np
 
-_OUT_SCHEMA = "doc_id long, score double"
+_OUT_SCHEMA = "shard int, ord long, score double"
 # Scoring-chunk schedule: geometric growth from ~heap size up to the
 # vectorization sweet spot. A FIXED large chunk makes the kth-score cut
 # unreachable whenever a shard has fewer candidates than the chunk
@@ -47,15 +59,15 @@ _CHUNK0 = 64  # first chunk ~ top-k heap size; the cut can fire after it
 
 def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = None):
     """Decode the blocks of one term, optionally pruned to blocks whose
-    doc-id range intersects candidate ids ``lo`` (sorted). Returns
-    (ids, tfp, tfc, ub_kernel, lenp, lenc) where ub_kernel is the
+    ordinal range intersects candidate ords ``lo`` (sorted). Returns
+    (ords, tfp, tfc, ub_kernel, lenp, lenc) where ub_kernel is the
     per-doc block bound kernel(max_tfp, max_tfc, min_lenp, min_lenc,
     avgdl) and lenp/lenc are the inline per-doc field lengths."""
     from posik_engine_spark.functions import codec
 
     if lo is not None and len(bpdf):
-        bmin = bpdf["doc_id_min"].to_numpy(np.int64)
-        bmax = bpdf["doc_id_max"].to_numpy(np.int64)
+        bmin = bpdf["ord_min"].to_numpy(np.int64)
+        bmax = bpdf["ord_max"].to_numpy(np.int64)
         # block overlaps candidates iff some candidate in [bmin, bmax]
         left = np.searchsorted(lo, bmin, side="left")
         keep = (left < len(lo)) & (lo[np.minimum(left, len(lo) - 1)] <= bmax)
@@ -68,7 +80,7 @@ def _decode_blocks(bpdf: pd.DataFrame, avgdl: float, lo: np.ndarray | None = Non
     # the warm serving profile (pandas row machinery, not the actual
     # varint decode). Elementwise kernel_np over the block-metadata
     # vectors is float-identical to the per-block scalar calls.
-    # doc ids decode per block (each block restarts its delta chain);
+    # ordinals decode per block (each block restarts its delta chain);
     # the four count streams have NO cross-value state, and every block
     # buffer ends on a complete varint, so the CONCATENATED streams
     # decode to exactly the concatenated arrays — one decode call each
@@ -117,7 +129,15 @@ def shard_topk(
     diag: dict | None = None,
 ) -> pd.DataFrame:
     """Pure-pandas/numpy shard-local block-max WAND (unit-testable
-    without Spark; the grouped-map UDF delegates here).
+    without Spark; the grouped-map UDF delegates here). Operates
+    entirely in ORDINAL space; returns (ord, score) rows.
+
+    Returns the top-k KEEPING score ties at the boundary (possibly
+    more than k rows): the global tie-break is on the external doc_id,
+    which this kernel never sees — the caller resolves survivors'
+    ordinals and applies the exact (score desc, doc_id asc) cut. Any
+    row dropped here has >= k strictly-higher-scored docs in this
+    shard alone, so it can never enter the global top-k.
 
     ``stats_pdf`` is only required when ``repos`` scoping is requested;
     field lengths come from the blocks themselves. Pass ``diag={}`` to
@@ -125,7 +145,7 @@ def shard_topk(
     candidates_scored) — the effectiveness tests use them; the UDF path
     passes nothing.
     """
-    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+    empty = pd.DataFrame({"ord": pd.Series(dtype="int64"),
                           "score": pd.Series(dtype="float64")})
     if k <= 0:
         # the scoring loop's kth-score selection assumes k >= 1
@@ -167,15 +187,14 @@ def shard_topk(
         aligned[t] = (tfp_t[ib], tfc_t[ib], maxk_t[ib])
         cand = common
 
-    # --- optional repo scoping via doc_stats lookup
+    # --- optional repo scoping via the pre-filtered registry's ords
+    # (ordinals are (repo, path)-ordered, so a scope is a contiguous
+    # ordinal range per shard — the membership test below is a sorted
+    # searchsorted over it)
     if repos is not None:
-        sids = stats_pdf["doc_id"].to_numpy(np.int64)
-        order = np.argsort(sids, kind="mergesort")
-        sids = sids[order]
+        sids = np.sort(stats_pdf["ord"].to_numpy(np.int64), kind="mergesort")
         pos = np.searchsorted(sids, cand)
         found = (pos < len(sids)) & (sids[np.minimum(pos, len(sids) - 1)] == cand)
-        repo_arr = stats_pdf["repo"].to_numpy()[order]
-        found &= np.isin(repo_arr[np.minimum(pos, len(sids) - 1)], repos)
         if not found.all():
             cand = cand[found]
             lenp, lenc = lenp[found], lenc[found]
@@ -222,8 +241,70 @@ def shard_topk(
     if diag is not None:
         diag["candidates"] = len(cand)
         diag["candidates_scored"] = int(len(idx))
-    sel = np.lexsort((cand[idx], -val))[:k]
-    return pd.DataFrame({"doc_id": cand[idx][sel], "score": val[sel]})
+    if len(val) > k:
+        # keep-ties cut: everything with score >= the kth score
+        # survives to the caller's doc_id-resolved global tie-break
+        kth = np.partition(val, len(val) - k)[len(val) - k]
+        keep = val >= kth
+        idx, val = idx[keep], val[keep]
+    order = np.lexsort((cand[idx], -val))
+    return pd.DataFrame({"ord": cand[idx][order], "score": val[order]})
+
+
+def _resolve_ords_spark(ix: Index, keys: list[tuple[int, int]]) -> dict:
+    """(shard, ord) -> doc_id via ONE pruned doc_stats lookup: shard is
+    the parquet partition key and files are ord-sorted, so the OR of
+    per-shard `ord IN (...)` predicates prunes partitions + row groups
+    — the same point-lookup shape as the content store."""
+    by_shard: dict[int, list[int]] = {}
+    for s, o in keys:
+        by_shard.setdefault(int(s), []).append(int(o))
+    cond = None
+    for s, ords in by_shard.items():
+        c = (F.col("shard") == s) & F.col("ord").isin(ords)
+        cond = c if cond is None else (cond | c)
+    rows = (
+        ix.doc_stats.filter(cond)
+        .select("shard", "ord", "doc_id")
+        .collect()
+    )
+    return {(int(r["shard"]), int(r["ord"])): int(r["doc_id"]) for r in rows}
+
+
+def _finalize_topk(parts: list[pd.DataFrame], k: int, resolver) -> list:
+    """Merge per-shard ties-kept frames (each with a ``shard`` col),
+    apply a global keep-ties pre-cut, resolve ord -> doc_id through
+    ``resolver(keys) -> {(shard, ord): doc_id}``, and take the exact
+    global top-k by (score desc, doc_id asc). Returns Row(doc_id,
+    score) list."""
+    from pyspark.sql import Row
+
+    if not parts:
+        return []
+    merged = pd.concat(parts, ignore_index=True)
+    if merged.empty:
+        return []
+    val = merged["score"].to_numpy(np.float64)
+    if len(val) > k:
+        # shrink the resolution set before the lookup: only rows that
+        # can still reach the top-k (score >= global kth) need doc_ids
+        kth = np.partition(val, len(val) - k)[len(val) - k]
+        merged = merged[val >= kth]
+    keys = list(zip(merged["shard"].astype(int), merged["ord"].astype(int)))
+    idmap = resolver(keys)
+    missing = [key for key in keys if key not in idmap]
+    if missing:
+        raise ValueError(
+            f"wand top-k: {len(missing)} scored ordinals missing from "
+            f"doc_stats (index corrupt or stale), e.g. {missing[:3]}"
+        )
+    out = sorted(
+        (
+            (-float(s), idmap[(int(sh), int(o))])
+            for sh, o, s in zip(merged["shard"], merged["ord"], merged["score"])
+        )
+    )[:k]
+    return [Row(doc_id=d, score=-negs) for negs, d in out]
 
 
 def wand_topk_driver(
@@ -234,28 +315,35 @@ def wand_topk_driver(
     repos: list[str] | None = None,
     diag: dict | None = None,
     rows: list | None = None,
+    resolver=None,
 ) -> list:
     """Driver-local top-k over the query terms' collected blocks —
     result-identical to wand_topk (same shard_topk kernel per shard,
-    same merge order), minus the grouped-map round trip.
+    same merge + tie-break), minus the grouped-map round trip.
 
     The Lucene-style serving hybrid: an interactive query touches only
-    its terms' posting blocks (sum(df) postings, delta+varint — a few
-    MB even for millions of postings), so the engine COLLECTS those
+    its terms' posting blocks (sum(df) postings, delta+varint over
+    dense ordinals — ~1-2 bytes/posting), so the engine COLLECTS those
     blocks with one pruned scan and scores them locally; the
     distributed path exists for queries whose posting volume exceeds
     spec.DRIVER_WAND_MAX_POSTINGS. On a multi-executor cluster 'driver'
     is the serving coordinator — the same place the per-shard top-k
     heaps merge in the distributed path anyway.
 
+    ``resolver(keys) -> {(shard, ord): doc_id}`` maps the <= ~k
+    surviving ordinals to external doc_ids for the global tie-break;
+    default is one pruned doc_stats point lookup (SearchEngine passes
+    its bounded LRU-backed lookup so warm queries resolve with zero
+    Spark jobs).
+
     Repo-scoped queries collect doc_stats pre-filtered to the scoped
-    repos: shard_topk's membership test (candidate present AND repo in
-    scope) collapses to presence in the filtered frame, so the result
-    is unchanged. CAVEAT: that collect is proportional to the scoped
-    repos' DOC COUNT, which the posting-volume gate does not bound —
-    SearchEngine therefore routes scoped queries to the distributed
-    path and uses this function only unscoped; the scoped support here
-    exists for small-corpus callers and the identity tests.
+    repos: shard_topk's membership test (candidate ord present in the
+    filtered frame) is exact. CAVEAT: that collect is proportional to
+    the scoped repos' DOC COUNT, which the posting-volume gate does not
+    bound — SearchEngine therefore routes scoped queries to the
+    distributed path and uses this function only unscoped; the scoped
+    support here exists for small-corpus callers and the identity
+    tests.
     """
     terms = sorted(term_idfs, key=lambda t: (term_dfs.get(t, 0), t))
     if not terms:
@@ -281,11 +369,11 @@ def wand_topk_driver(
     if repos is not None:
         srows = (
             ix.doc_stats.filter(F.col("repo").isin(list(repos)))
-            .select("shard", "doc_id", "repo")
+            .select("shard", "ord", "repo")
             .collect()
         )
         sdf = pd.DataFrame(
-            [r.asDict() for r in srows], columns=["shard", "doc_id", "repo"]
+            [r.asDict() for r in srows], columns=["shard", "ord", "repo"]
         )
         stats_by_shard = {s: g for s, g in sdf.groupby("shard")} if len(sdf) else {}
     parts = []
@@ -297,26 +385,15 @@ def wand_topk_driver(
         else:
             spdf = None
         sdiag: dict | None = {} if diag is not None else None
-        parts.append(
-            shard_topk(pdf, spdf, terms, idfs, avgdl, k, repos=repos, diag=sdiag)
-        )
+        part = shard_topk(pdf, spdf, terms, idfs, avgdl, k, repos=repos, diag=sdiag)
+        if len(part):
+            parts.append(part.assign(shard=int(shard)))
         if diag is not None:
             for key in ("postings_decoded", "candidates", "candidates_scored"):
                 diag[key] = diag.get(key, 0) + int(sdiag.get(key, 0))
-    if not parts:
-        return []
-    merged = pd.concat(parts, ignore_index=True)
-    if merged.empty:
-        return []
-    merged = merged.sort_values(
-        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
-    ).head(k)
-    from pyspark.sql import Row
-
-    return [
-        Row(doc_id=int(d), score=float(s))
-        for d, s in zip(merged["doc_id"], merged["score"])
-    ]
+    if resolver is None:
+        resolver = lambda keys: _resolve_ords_spark(ix, keys)  # noqa: E731
+    return _finalize_topk(parts, k, resolver)
 
 
 def wand_topk(
@@ -326,11 +403,17 @@ def wand_topk(
     k: int,
     repos: list[str] | None = None,
 ) -> DataFrame:
-    """Distributed top-k: per-shard WAND UDF + driver merge.
+    """Distributed top-k: per-shard WAND UDF + doc_id resolution +
+    driver merge.
 
     Unscoped: single-input grouped map over the query terms' blocks
     (lengths are inline). Repo-scoped: cogroup with doc_stats for the
-    doc→repo lookup.
+    ord→scope lookup. Either way the grouped map emits <= ~k ties-kept
+    (shard, ord, score) rows per shard; those join doc_stats
+    BROADCAST (the tiny side is the result, never the registry) to
+    recover external doc_ids, and orderBy().limit() compiles to
+    TakeOrderedAndProject for the exact global (score desc, doc_id
+    asc) cut — no extra shuffle.
     """
     terms = sorted(term_idfs, key=lambda t: (term_dfs.get(t, 0), t))
     if not terms:
@@ -341,28 +424,39 @@ def wand_topk(
     qb = ix.blocks.filter(F.col("term").isin(terms))
     if repos is None:
 
-        def per_shard_solo(_key, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
-            return shard_topk(blocks_pdf, None, terms, idfs, avgdl, k)
+        def per_shard_solo(key, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = shard_topk(blocks_pdf, None, terms, idfs, avgdl, k)
+            return out.assign(shard=int(key[0]))[["shard", "ord", "score"]]
 
         res = qb.groupBy("shard").applyInPandas(per_shard_solo, _OUT_SCHEMA)
     else:
 
-        def per_shard(_key, blocks_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
-            return shard_topk(blocks_pdf, stats_pdf, terms, idfs, avgdl, k, repos=repos)
+        def per_shard(key, blocks_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+            out = shard_topk(
+                blocks_pdf, stats_pdf, terms, idfs, avgdl, k, repos=repos
+            )
+            return out.assign(shard=int(key[0]))[["shard", "ord", "score"]]
 
         # pre-filter the cogroup's registry side to the scoped repos —
-        # shard_topk's membership test (candidate in stats AND repo in
-        # scope) is unchanged by dropping rows that fail it anyway, and
+        # shard_topk's membership test (candidate ord in the scoped
+        # frame) is unchanged by dropping rows that fail it anyway, and
         # the per-query exchange now carries O(scoped docs), not
-        # O(corpus) (file-backed doc_stats is repo-sorted, so the
+        # O(corpus) (file-backed doc_stats is ord≡repo-sorted, so the
         # predicate also prunes row groups; the driver hybrid does the
         # identical pre-filter)
         ds = ix.doc_stats.filter(F.col("repo").isin(list(repos))).select(
-            "shard", "doc_id", "repo"
+            "shard", "ord", "repo"
         )
         res = (
             qb.groupBy("shard")
             .cogroup(ds.groupBy("shard"))
             .applyInPandas(per_shard, _OUT_SCHEMA)
         )
-    return res.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    resolved = ix.doc_stats.select("shard", "ord", "doc_id").join(
+        F.broadcast(res), ["shard", "ord"]
+    )
+    return (
+        resolved.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

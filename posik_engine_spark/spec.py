@@ -76,6 +76,13 @@ DRIVER_BLOCK_CACHE_MAX_POSTINGS: int = 4_000_000
 # snapshot-lifetime staleness model as the other driver caches (an
 # engine serves one index snapshot).
 DRIVER_CONTENT_CACHE_MAX_BYTES: int = 64 * 1024 * 1024
+# Bounded LRU over (shard, ord) -> doc_id resolution rows: the
+# driver-WAND path maps its <= ~k surviving ordinals to external
+# doc_ids for the global tie-break (posting blocks store dense
+# per-shard ordinals, not doc_ids — operators/index.py). ~50 bytes per
+# entry, so the cap bounds driver heap at ~100 MB while hot result
+# docs resolve with zero Spark jobs.
+DRIVER_DOCMETA_CACHE_MAX_ROWS: int = 2_000_000
 # Incremental updates: joins whose matches must share the batch's repos
 # (new-or-changed detection, partial-mode stale lookup) filter the
 # on-disk doc registry to ``repo IN (batch repos)`` when the batch

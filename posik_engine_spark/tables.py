@@ -154,10 +154,22 @@ class ParquetBackend(TableBackend):
                 shutil.rmtree(dst, ignore_errors=True)
 
     def replace_table(self, final_path, staging_path):
+        # rename-aside swap: the previous rmtree(final) -> move(staging)
+        # left a no-table window as long as the recursive delete, during
+        # which a concurrent reader in another process (from_index_dir,
+        # a big-vocab term_info scan) got file-not-found instead of
+        # old-or-new — round-3 advisor finding. Two renames shrink the
+        # window to microseconds; the old copy is deleted only after the
+        # new table is in place.
+        old = final_path + ".old"
         if os.path.isdir(staging_path):
-            shutil.rmtree(final_path, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(final_path):
+                os.rename(final_path, old)
             shutil.move(staging_path, final_path)
-        # else: already swapped by a previous attempt
+        # else: already swapped by a previous attempt — fall through to
+        # clear a leftover .old from a crash between the two renames
+        shutil.rmtree(old, ignore_errors=True)
 
     def clear_staging(self, staging_path):
         shutil.rmtree(staging_path, ignore_errors=True)

@@ -95,7 +95,7 @@ def test_multi_block_terms_and_wand(ix_state):
     re-verify WAND equality — exercises block-range pruning + per-block
     max_kernel bounds across block boundaries."""
     ix, oracle_ix, tf = ix_state
-    small_blocks = index.build_blocks(tf, block_size=8).cache()
+    small_blocks = index.build_blocks(tf, ix.doc_stats, block_size=8).cache()
     hot = small_blocks.filter("term = 'def'").groupBy("shard").count().collect()
     assert any(r["count"] > 1 for r in hot)
     ix_small = index.Index(small_blocks, ix.doc_stats, ix.term_stats, ix.meta)

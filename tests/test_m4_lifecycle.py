@@ -19,7 +19,7 @@ N_DOCS = 250
 
 def _blocks_fingerprint(ix):
     rows = ix.blocks.select(
-        "term", "shard", "block_id", "n_docs", "doc_id_min", "doc_id_max",
+        "term", "shard", "block_id", "n_docs", "ord_min", "ord_max",
         "max_tfp", "max_tfc", "min_lenp", "min_lenc",
         F.hex(F.col("docs")).alias("d"),
         F.hex(F.col("tfp")).alias("p"),

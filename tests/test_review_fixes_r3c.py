@@ -67,16 +67,17 @@ def test_unstemmed_statistics_unchanged(spark, english):
         assert got == {r: len(s) for r, s in per_repo.items()}
 
 
-def test_search_limit_zero_raises_nothing_found(spark, english):
-    """limit=0 is an empty pagination window: every slice is empty, so
-    relaxation exhausts the terms and raises the reference's
-    nothing-found error — it must not crash the shard scorer (k=0 hit
-    np.partition out-of-bounds before the guard)."""
+def test_search_limit_zero_raises_invalid_argument(spark, english):
+    """limit<=0 is an invalid pagination argument: rejected up front
+    with a distinct message, BEFORE tokenization or any dictionary
+    probe — user error must not masquerade as the relaxation
+    cascade's nothing-found result (round-3 advisor)."""
     from posik_engine_spark.oracle import SearchError
 
     with SearchEngine.from_docs(spark, english, n_shards=2) as eng:
-        with pytest.raises(SearchError, match="nothing found"):
-            eng.search("running", limit=0)
+        for bad in (0, -3):
+            with pytest.raises(SearchError, match="invalid limit"):
+                eng.search("running", limit=bad)
 
 
 def test_streaming_term_freqs_threads_stemmer(spark, english):

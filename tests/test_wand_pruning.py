@@ -67,7 +67,7 @@ def _shard() -> pd.DataFrame:
         "rare", rare_ids, rare_tfc, lenc[rare_ids]
     )
     cols = [
-        "term", "shard", "block_id", "n_docs", "doc_id_min", "doc_id_max",
+        "term", "shard", "block_id", "n_docs", "ord_min", "ord_max",
         "max_tfp", "max_tfc", "min_lenp", "min_lenc",
         "docs", "tfp", "tfc", "lenp", "lenc",
     ]
@@ -84,7 +84,7 @@ def test_block_range_pruning_skips_hot_blocks():
     stays near |rare| * BLOCK_SIZE, far under the 20k full list."""
     diag: dict = {}
     out = wand.shard_topk(_shard(), None, ["rare", "hot"], IDFS, AVGDL, 10, diag=diag)
-    assert len(out) == 10
+    assert len(out) >= 10  # keep-ties kernel may return boundary ties
     full = N_DOCS + N_DOCS // RARE_EVERY
     assert diag["postings_decoded"] < full * 0.5, diag
     # every rare doc survives the AND (hot covers all docs)
@@ -96,8 +96,10 @@ def test_wand_early_termination_scores_fraction():
     must stop long before scoring all 20k candidates."""
     diag: dict = {}
     out = wand.shard_topk(_shard(), None, ["hot"], {"hot": IDFS["hot"]}, AVGDL, 10, diag=diag)
-    assert len(out) == 10
-    assert int(out.iloc[0]["doc_id"]) == 5  # the crafted dominant doc wins
+    # keep-ties: block 0's docs share one score, so the kth-score tie
+    # group (the whole block) survives for the caller's doc_id cut
+    assert len(out) >= 10
+    assert int(out.iloc[0]["ord"]) == 5  # the crafted dominant doc wins
     assert diag["candidates"] == N_DOCS
     assert diag["candidates_scored"] < N_DOCS, diag
     # geometric chunks (64, 128, ...) let the cut fire near the heap
@@ -129,7 +131,7 @@ def test_pruned_equals_unpruned_topk():
     sc = s[rare_mask]
     order = np.lexsort((cand, -sc))[:10]
     expect = list(zip(cand[order], sc[order]))
-    got = list(zip(out["doc_id"].astype(np.int64), out["score"]))
+    got = list(zip(out["ord"].astype(np.int64), out["score"]))[:10]
     assert [(int(a), float(b)) for a, b in got] == [
         (int(a), float(b)) for a, b in expect
     ]
@@ -140,14 +142,14 @@ def test_scoped_shard_with_no_scope_docs_returns_empty():
     this shard (the scoped repo owns none of its docs): must return the
     empty frame, never index into a zero-length stats array."""
     empty_stats = pd.DataFrame(
-        {"doc_id": pd.Series(dtype="int64"), "repo": pd.Series(dtype=object)}
+        {"ord": pd.Series(dtype="int64"), "repo": pd.Series(dtype=object)}
     )
     for stats in (None, empty_stats):
         out = wand.shard_topk(
             _shard(), stats, ["rare", "hot"], IDFS, AVGDL, 10, repos=["r1"]
         )
         assert len(out) == 0
-        assert list(out.columns) == ["doc_id", "score"]
+        assert list(out.columns) == ["ord", "score"]
 
 
 def test_truncated_count_stream_detected():
@@ -172,11 +174,11 @@ def test_shard_topk_k_zero_returns_empty():
     for repos in (None, ["r1"]):
         out = wand.shard_topk(
             _shard(),
-            pd.DataFrame({"doc_id": [5], "repo": ["r1"]}),
+            pd.DataFrame({"ord": [5], "repo": ["r1"]}),
             ["rare", "hot"], IDFS, AVGDL, 0, repos=repos,
         )
         assert len(out) == 0
-        assert list(out.columns) == ["doc_id", "score"]
+        assert list(out.columns) == ["ord", "score"]
 
 
 def test_driver_wand_diag_on_real_index(spark):
