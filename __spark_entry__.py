@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from posik_engine_spark import spec
 from posik_engine_spark.functions.tokenizer import tokenize_expr, tokenize_sql_duckdb
 from posik_engine_spark.operators import build as B
-from posik_engine_spark.operators import dedup, sampling, similarity, textops
+from posik_engine_spark.operators import dedup, hybrid, sampling, similarity, textops
 from posik_engine_spark.operators.index import build_index
 from posik_engine_spark.operators.score import score_terms
 from posik_engine_spark.operators.wand import wand_topk
@@ -372,6 +372,18 @@ def q_ann_lsh_pairs(spark, sf_dir):
     )
 
 
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid lexical+semantic retrieval: reciprocal-rank fusion
+    (k0=60, depth=50) of the BM25 ranked list for QTERMS_MAIN over
+    ``documents`` and the cosine ranked list for vector 0 over
+    ``embeddings`` — doc_id and vec_id share the same id space in the
+    synthetic corpus. Both input scores are round-6, so ranks (and
+    hence the fusion) are engine-independent."""
+    lex = _bm25_all_matches(spark, sf_dir, QTERMS_MAIN)
+    sem = q_ann_cosine_all(spark, sf_dir)
+    return hybrid.rrf_fuse(lex, sem)
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (batch oracle form of the stateful
     streaming operator streaming/sessionize.py): 30-min gap sessions
@@ -453,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+        "hybrid_rrf_topk": q_hybrid_rrf_topk,
         "events_hourly": q_events_hourly,
         "sessionize": q_sessionize,
         "lineitem_summary": q_lineitem_summary,
@@ -727,6 +740,33 @@ WHERE round({cos}, 6) >= {COSINE_TAU}
 """
 
 
+def _sql_hybrid_rrf(
+    depth: int = hybrid.DEFAULT_DEPTH, k0: int = hybrid.RRF_K0, topk: int = 10
+) -> str:
+    """RRF fusion mirror of hybrid.rrf_fuse: rank each round-6 scored
+    list by (score desc, id asc), cut to depth, full-outer join, sum
+    1/(k0+rank) with integer ranks (bit-identical doubles in any
+    engine), round-6 the two-term sum."""
+    return f"""
+WITH lex AS ({_sql_bm25(QTERMS_MAIN)}),
+lexr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM lex ORDER BY score DESC, doc_id ASC LIMIT {depth}
+),
+sem AS ({_sql_ann_all()}),
+semr AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS sem_rank
+  FROM sem ORDER BY cosine DESC, vec_id ASC LIMIT {depth}
+)
+SELECT coalesce(lexr.doc_id, semr.doc_id) AS doc_id,
+       lexr.lex_rank, semr.sem_rank,
+       round(coalesce(1.0::DOUBLE / ({k0} + lexr.lex_rank), 0.0)
+           + coalesce(1.0::DOUBLE / ({k0} + semr.sem_rank), 0.0), 6) AS rrf
+FROM lexr FULL OUTER JOIN semr ON lexr.doc_id = semr.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {topk}
+"""
+
+
 def _sql_simhash_pairs(max_hamming: int = 3) -> str:
     """SimHash pairs, bit-for-bit: md5 low-64 per term (big-endian hex
     prefix), +-tf votes per bit, sign -> bit, signed-int64 wrap, then
@@ -882,6 +922,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _sql_ann_topk(),
         "ann_ivf_topk": _sql_ann_ivf(),
         "ann_lsh_pairs": _sql_ann_lsh(),
+        "hybrid_rrf_topk": _sql_hybrid_rrf(),
         "events_hourly": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
                    count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value

@@ -1,0 +1,95 @@
+"""Hybrid lexical+semantic RRF fusion (operators/hybrid.py).
+
+The oracle-checked integration (hybrid_rrf_topk vs DuckDB) lives in
+test_entry_contract.py via the queries()/oracle_sql() registry; these
+tests pin the operator semantics and the driver-side serving fusion.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from posik_engine_spark.operators import hybrid
+
+
+def test_rrf_fuse_rows_math():
+    # doc 7 is rank 1 lexically and rank 2 semantically:
+    # 1/61 + 1/62 beats doc 3's 1/62 + 1/61 tie -> id tiebreak, and
+    # both beat single-list docs
+    out = hybrid.rrf_fuse_rows([[7, 3, 9], [3, 7]], topk=4)
+    assert [d for d, _ in out] == [3, 7, 9]
+    s = dict(out)
+    assert s[3] == pytest.approx(1 / 62 + 1 / 61)
+    assert s[7] == pytest.approx(1 / 61 + 1 / 62)
+    assert s[9] == pytest.approx(1 / 63)
+    # identical scores tie-break on the smaller id
+    assert out[0][0] == 3 and out[0][1] == out[1][1]
+
+
+def test_rrf_fuse_df_matches_rows(spark):
+    lex = spark.createDataFrame(
+        [(7, 3.0), (3, 2.0), (9, 1.0)], "doc_id long, score double"
+    )
+    sem = spark.createDataFrame(
+        [(3, 0.9), (7, 0.8), (11, 0.1)], "vec_id long, cosine double"
+    )
+    got = {
+        r["doc_id"]: (r["lex_rank"], r["sem_rank"], r["rrf"])
+        for r in hybrid.rrf_fuse(lex, sem, topk=10).collect()
+    }
+    want = dict(hybrid.rrf_fuse_rows([[7, 3, 9], [3, 7, 11]], topk=10))
+    assert set(got) == set(want)
+    for d, (lr, sr, rrf) in got.items():
+        assert rrf == pytest.approx(want[d], abs=1e-6)
+    assert got[7] == (1, 2, pytest.approx(1 / 61 + 1 / 62, abs=1e-6))
+    assert got[11][0] is None and got[11][1] == 3
+
+
+def test_rrf_depth_cut_is_deterministic(spark):
+    # ties at the depth boundary cut by id: depth=2 over three docs
+    # scoring 5,5,5 keeps ids 1,2
+    lex = spark.createDataFrame(
+        [(3, 5.0), (1, 5.0), (2, 5.0)], "doc_id long, score double"
+    )
+    sem = spark.createDataFrame([], "vec_id long, cosine double")
+    out = hybrid.rrf_fuse(lex, sem, depth=2, topk=10).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
+def test_serving_fusion_engine_plus_ivf(spark, tmp_path):
+    """Driver-side fusion of the two real indexes: BM25 SearchEngine
+    hits + IVFStore.topk rows, fused with rrf_fuse_rows — the serving
+    path runs zero extra Spark jobs beyond the two index probes."""
+    from posik_engine_spark import corpus
+    from posik_engine_spark.operators import similarity
+    from posik_engine_spark.operators.search import SearchEngine
+
+    docs = corpus.synthetic_docs(spark, 24, seed=11).cache()
+    eng = SearchEngine.from_docs(spark, docs, n_shards=2)
+    # pick a mid-frequency term: df-max terms can exceed the theta=0.97
+    # DF stop filter and leave no scorable term at this corpus size
+    vocab = [
+        r["term"]
+        for r in eng.ix.term_stats.filter("df >= 3 AND df <= 12")
+        .orderBy(F.desc("df"), "term")
+        .limit(1)
+        .collect()
+    ]
+    assert vocab
+    resp = eng.search(vocab[0], limit=5)
+    lex_ids = [h[0] for h in resp.hits]  # RESULT_SCHEMA: doc_id first
+    assert lex_ids
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)], 0) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf(emb, path, n_centroids=2, iters=0)
+    store = similarity.IVFStore(spark, path)
+    sem_ids = [r["vec_id"] for r in store.topk([1.0, 0.0, 0.0, 0.0], k=5).collect()]
+    fused = hybrid.rrf_fuse_rows([lex_ids, sem_ids], topk=5)
+    assert len(fused) >= 1
+    # every fused id came from one of the two lists, scores descend
+    ids = {d for d, _ in fused}
+    assert ids <= set(lex_ids) | set(sem_ids)
+    scores = [s for _, s in fused]
+    assert scores == sorted(scores, reverse=True)
