@@ -31,21 +31,24 @@ def title_for_path(path: str | None) -> str:
 def build_snippet(
     content: str | None, terms: list[str], normalize=None
 ) -> str:
-    """``normalize`` (optional per-token callable, e.g. the index's
-    stemmer) maps each word-form before matching — so a stemmed index
-    highlights 'runs' for the query 'running', exactly like the
-    reference matching on shared normal forms."""
+    """``normalize`` (optional stemmer.Normalizer, the index's
+    recorded one) maps each word-form to its normal form(s) before
+    matching — so a stemmed index highlights 'runs' for the query
+    'running', exactly like the reference matching on shared normal
+    forms; its token alphabet also drives the word split, so Cyrillic
+    word-forms highlight under a russian/bilingual index."""
     if not content:
         return ""
     words = content.split()
     remaining = set(terms)
     matches: list[int] = []
+    token_re = normalize.token_re if normalize is not None else None
     for i, w in enumerate(words):
         if not remaining:
             break
-        forms = set(tokenize_py(w))
+        forms = set(tokenize_py(w, token_re))
         if normalize is not None:
-            forms = {normalize(f) for f in forms}
+            forms = {f for raw in forms for f in normalize(raw)}
         hit = forms & remaining
         if hit:
             # consume each query term once (reference SnippetBuilder.java:25)

@@ -193,17 +193,108 @@ def stem_tokens(tokens: list[str]) -> list[str]:
     return [porter_stem(t) for t in tokens]
 
 
+class Normalizer:
+    """A registered token normalization: per-token 1->N normal forms
+    plus the token alphabet the language needs.
+
+    - ``forms(tok) -> tuple[str, ...]``: the normal form(s) of one
+      lowercased token — the reference counts EVERY normal form of a
+      word (service/LemmaUtils.java:67, тест -> {тест, тесто}), so the
+      contract is 1->N; plain stemmers return a 1-tuple.
+    - ``token_re``: regex replacing spec.TOKEN_RE during tokenization
+      when the language needs a wider alphabet (Cyrillic); None keeps
+      the default ASCII extraction. Owned by the normalizer — exactly
+      the reference's MorphologyService owning both word splitting and
+      lemmatization — so the same recorded ``stemmer`` name drives
+      build, query and snippet identically with no extra plumbing.
+
+    Instances are resolved from the NAME everywhere (executors
+    re-resolve locally), so closures never ship across processes.
+    """
+
+    __slots__ = ("name", "_forms", "token_re")
+
+    def __init__(self, name: str, forms, token_re: str | None = None):
+        self.name = name
+        self._forms = forms
+        self.token_re = re.compile(token_re) if token_re else None
+
+    def __call__(self, tok: str) -> tuple[str, ...]:
+        return self._forms(tok)
+
+    def flat(self, tokens: list[str]) -> list[str]:
+        """Flatten a token list through the 1->N expansion (order and
+        multiplicity kept; an expanded token contributes every form)."""
+        return [f for t in tokens for f in self._forms(t)]
+
+
+def _porter1(t: str) -> tuple[str, ...]:
+    return (porter_stem(t),)
+
+
+def _russian1(t: str) -> tuple[str, ...]:
+    from posik_engine_spark.functions.stemmer_ru import russian_stem
+
+    return (russian_stem(t),)
+
+
+def _bilingual1(t: str) -> tuple[str, ...]:
+    # each stemmer passes the other's script through unchanged, so the
+    # composition applies exactly one of them per token
+    from posik_engine_spark.functions.stemmer_ru import russian_stem
+
+    return (porter_stem(russian_stem(t)),)
+
+
+# Cyrillic-widened token alphabet (lowercased input; ё handled by the
+# russian stemmer itself). Identifier whole-form expansion (WORD_RE /
+# MULTI_WORD_RE) stays ASCII — camel/snake is a Latin-identifier
+# phenomenon.
+TOKEN_RE_CYRILLIC: str = r"[a-zа-яё0-9]+(?:-[a-zа-яё0-9]+)*"
+
+_BASE_NORMALIZERS = {
+    "porter": lambda: Normalizer("porter", _porter1),
+    "russian": lambda: Normalizer("russian", _russian1, TOKEN_RE_CYRILLIC),
+    "bilingual": lambda: Normalizer("bilingual", _bilingual1, TOKEN_RE_CYRILLIC),
+}
+
+# kept for introspection/tests: the plain per-token stem functions
 STEMMERS = {"porter": porter_stem}
 
 
-def resolve(stemmer: str | None):
-    """stemmer name -> per-token callable (None -> None). Raises on an
+def _with_exact(base: Normalizer, name: str) -> Normalizer:
+    """1->N variant: index/query BOTH the normal form and the exact
+    surface form when they differ — the surface form is itself a
+    counted normal form (the reference counts every normal form of a
+    word), so exact-form queries keep matching on a stemmed index."""
+
+    def forms(t: str, _b=base) -> tuple[str, ...]:
+        out = _b(t)
+        return out if t in out else out + (t,)
+
+    return Normalizer(name, forms, None)
+
+
+def resolve(stemmer: str | None) -> Normalizer | None:
+    """stemmer name -> Normalizer (None -> None). ``"<name>+exact"``
+    adds the surface form as a second normal form (1->N). Raises on an
     unknown name so a typo fails the build, not silently unstemmed."""
     if stemmer is None:
         return None
+    base_name, plus, mod = stemmer.partition("+")
     try:
-        return STEMMERS[stemmer]
+        base = _BASE_NORMALIZERS[base_name]()
     except KeyError:
         raise ValueError(
-            f"unknown stemmer {stemmer!r}; available: {sorted(STEMMERS)}"
+            f"unknown stemmer {stemmer!r}; available: "
+            f"{sorted(_BASE_NORMALIZERS)} (+'+exact' variants)"
         ) from None
+    if not plus:
+        return base
+    if mod != "exact":
+        raise ValueError(
+            f"unknown stemmer modifier {mod!r} in {stemmer!r}; only '+exact'"
+        )
+    n = _with_exact(base, stemmer)
+    n.token_re = base.token_re
+    return n

@@ -38,13 +38,18 @@ _MULTI = re.compile(spec.MULTI_WORD_RE)
 
 
 # ------------------------------------------------------------- python
-def tokenize_py(s: str | None) -> list[str]:
-    """Pure-Python reference tokenizer (the oracle's form)."""
+def tokenize_py(s: str | None, token_re: re.Pattern | None = None) -> list[str]:
+    """Pure-Python reference tokenizer (the oracle's form).
+
+    ``token_re`` widens the token alphabet (e.g. Cyrillic) when the
+    index's normalizer requires it (stemmer.Normalizer.token_re);
+    None keeps the default ASCII extraction that every driver oracle
+    mirrors."""
     if not s:
         return []
     split = _C2.sub(r"\1 \2", s)
     split = _C1.sub(r"\1 \2", split)
-    toks = _TOK.findall(split.lower())
+    toks = (token_re or _TOK).findall(split.lower())
     # 1->N expansion: whole form of every multi-part word, appended
     toks += [
         w.replace("_", "").lower() for w in _WORD.findall(s) if _MULTI.search(w)
@@ -53,11 +58,11 @@ def tokenize_py(s: str | None) -> list[str]:
 
 
 # --------------------------------------------------------- pandas UDF
-def _tokenize_series(s: pd.Series) -> pd.Series:
+def _tokenize_series(s: pd.Series, token_re: re.Pattern | None = None) -> pd.Series:
     s = s.fillna("")
     parts = s.str.replace(spec.CAMEL_PASS_2, r"\1 \2", regex=True)
     parts = parts.str.replace(spec.CAMEL_PASS_1, r"\1 \2", regex=True)
-    parts = parts.str.lower().str.findall(_TOK)
+    parts = parts.str.lower().str.findall(token_re or _TOK)
     # whole-form expansion, prefiltered: MULTI_WORD_RE cannot match
     # ACROSS words (its alternatives are all word characters), so a doc
     # with no match anywhere has no multi-part word and skips the

@@ -329,9 +329,12 @@ def _tokenize_count_stem_udf(stemmer: str):
         from posik_engine_spark.functions.stemmer import resolve
         from posik_engine_spark.functions.tokenizer import _tokenize_series
 
-        stem = resolve(stemmer)
-        pt = _tokenize_series(path).map(lambda ts: [stem(t) for t in ts])
-        ct = _tokenize_series(content).map(lambda ts: [stem(t) for t in ts])
+        norm = resolve(stemmer)
+        # 1->N expansion: every normal form of a token is counted
+        # (reference service/LemmaUtils.java:67); plain stemmers
+        # return 1-tuples so this is the round-3 behavior for them
+        pt = _tokenize_series(path, norm.token_re).map(norm.flat)
+        ct = _tokenize_series(content, norm.token_re).map(norm.flat)
         return _count_frame(pt, ct)
 
     return _udf
@@ -345,8 +348,8 @@ def _tokenize_stem_udf(stemmer: str):
         from posik_engine_spark.functions.stemmer import resolve
         from posik_engine_spark.functions.tokenizer import _tokenize_series
 
-        stem = resolve(stemmer)
-        return _tokenize_series(s).map(lambda ts: [stem(t) for t in ts])
+        norm = resolve(stemmer)
+        return _tokenize_series(s, norm.token_re).map(norm.flat)
 
     return _udf
 

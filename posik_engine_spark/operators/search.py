@@ -537,11 +537,12 @@ class SearchEngine:
 
     def _q_tokens(self, text: str) -> list[str]:
         """Query-side normal forms: the build tokenizer plus the
-        index's recorded stemmer (if any) — EXACTLY what was indexed."""
-        toks = tokenize_py(text)
+        index's recorded normalizer (if any) — EXACTLY what was
+        indexed, including the normalizer's token alphabet and its
+        1->N normal-form expansion."""
         if self._stem is not None:
-            toks = [self._stem(t) for t in toks]
-        return toks
+            return self._stem.flat(tokenize_py(text, self._stem.token_re))
+        return tokenize_py(text)
 
     # ---------------------------------------------------- Q8/Q9/Q10/Q11
     def _content_for_ids(self, ids: list) -> dict:

@@ -88,9 +88,15 @@ def test_non_word_tokens_pass_through():
 
 def test_resolve_contract():
     assert resolve(None) is None
-    assert resolve("porter") is porter_stem
+    norm = resolve("porter")
+    # Normalizer contract: 1->N tuple of forms, porter is 1->1
+    assert norm("running") == ("run",)
+    assert norm.token_re is None  # porter keeps the ASCII alphabet
+    assert norm.flat(["running", "runs"]) == ["run", "run"]
     with pytest.raises(ValueError, match="unknown stemmer"):
         resolve("snowball")
+    with pytest.raises(ValueError, match="modifier"):
+        resolve("porter+fuzzy")
 
 
 def test_stem_tokens_keeps_order_and_multiplicity():
