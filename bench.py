@@ -163,6 +163,53 @@ def wand_effectiveness(engine) -> dict[str, int]:
     return agg
 
 
+SKEW_QUERIES = [
+    "rare3 common1", "rare7 common2", "rare12 common1",
+    "rare17 common3", "rare5 common2",
+]
+
+
+def skew_effectiveness(spark, n_docs: int = 20_000) -> dict[str, float]:
+    """WAND pruning counters on a Zipf-skewed corpus (corpus.zipf_docs)
+    with the realistic rare∧common AND workload. The uniform BENCH_QUERIES
+    suite cannot exercise block-range pruning — its every term matches
+    nearly every doc, so candidates span all ordinal ranges and
+    decode_ratio sits at ~1.0 by construction. Here each rare term's
+    candidates occupy narrow (repo, path)-ordinal ranges, so the common
+    term decodes only overlapping blocks; the bound is pinned by
+    tests/test_wand_skew.py (decode_ratio <= 0.8; measured ~0.1).
+    common0 (df == n_docs) is deliberately NOT queried — the theta DF
+    stop filter drops it, like the reference's 0.97 cap."""
+    from posik_engine_spark import corpus
+    from posik_engine_spark.functions.tokenizer import tokenize_py
+    from posik_engine_spark.operators.search import SearchEngine
+    from posik_engine_spark.operators.wand import wand_topk_driver
+
+    docs = corpus.zipf_docs(spark, n_docs)
+    engine = SearchEngine.from_docs(spark, docs, n_shards=8)
+    try:
+        agg: dict[str, int] = {}
+        for q in SKEW_QUERIES:
+            terms = engine.filter_query_terms(tokenize_py(q))
+            info = engine._term_info(terms)
+            terms = [t for t in terms if t in info]
+            wand_topk_driver(
+                engine.ix,
+                {t: info[t][0] for t in terms},
+                {t: info[t][1] for t in terms},
+                k=20,
+                diag=agg,
+            )
+    finally:
+        engine.close()
+    total = max(1, agg.get("postings_total", 0))
+    return {
+        **agg,
+        "decode_ratio": round(agg.get("postings_decoded", 0) / total, 4),
+        "score_ratio": round(agg.get("candidates_scored", 0) / total, 4),
+    }
+
+
 def _scale_worker(level: int, corpus_path: str, n_shards: int) -> int:
     """One timed build at one parallelism level (fresh JVM per process —
     restarting SparkContexts in-process breaks the Python accumulator
@@ -267,7 +314,7 @@ def scaling_run(
 
 def write_baseline_md(
     sf_dir: str, scale: dict, queries: dict[str, float], cpus: int = 32,
-    wand: dict | None = None,
+    wand: dict | None = None, wand_skew: dict | None = None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = scale["low"], scale["high"]
@@ -337,6 +384,27 @@ adversarial shard).
 | candidates_scored | {wand.get('candidates_scored', 0)} | {wand.get('candidates_scored', 0) / total:.3f} |
 """
             )
+        if wand_skew:
+            st = max(1, wand_skew.get("postings_total", 0))
+            f.write(
+                f"""
+## Block-max WAND effectiveness — Zipf-skewed rare∧common scenario
+
+The uniform suite above cannot exercise block-range pruning (every
+term matches nearly every doc). On corpus.zipf_docs with rare∧common
+AND queries (bench.SKEW_QUERIES), the per-shard ordinal layout lets
+the rare term's narrow (repo, path)-ordinal candidate ranges skip most
+of the common term's blocks (bound pinned at decode_ratio <= 0.8 by
+tests/test_wand_skew.py):
+
+| counter | value | /postings_total |
+|---|---|---|
+| postings_total | {wand_skew.get('postings_total', 0)} | 1.000 |
+| postings_decoded | {wand_skew.get('postings_decoded', 0)} | {wand_skew.get('postings_decoded', 0) / st:.4f} |
+| candidates (AND-survivors) | {wand_skew.get('candidates', 0)} | {wand_skew.get('candidates', 0) / st:.4f} |
+| candidates_scored | {wand_skew.get('candidates_scored', 0)} | {wand_skew.get('candidates_scored', 0) / st:.4f} |
+"""
+            )
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -375,6 +443,7 @@ def main(argv: list[str] | None = None) -> int:
         n_shards = max(4, min(args.cpus, n_docs_src // 500))
         ix, docs, build_sec = run_build(spark, args.sf_dir, out, n_shards=n_shards)
         timings, first_pass, wand_diag = run_queries(spark, ix, docs)
+        skew_diag = skew_effectiveness(spark)
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
@@ -405,6 +474,9 @@ def main(argv: list[str] | None = None) -> int:
                 / max(1, wand_diag.get("postings_total", 0)), 4,
             ),
         },
+        # the skewed rare∧common scenario where the pruning levers can
+        # actually fire (the uniform suite's terms match everywhere)
+        "wand_skew": skew_diag,
     }
 
     if args.scaling:
@@ -413,7 +485,8 @@ def main(argv: list[str] | None = None) -> int:
             runs=args.runs, inflate=args.inflate,
         )
         result["scaling_efficiency"] = round(scale["efficiency"], 4)
-        write_baseline_md(args.sf_dir, scale, timings, cpus=args.cpus, wand=wand_diag)
+        write_baseline_md(args.sf_dir, scale, timings, cpus=args.cpus,
+                          wand=wand_diag, wand_skew=skew_diag)
 
     print(json.dumps(result))
     return 0

@@ -94,6 +94,51 @@ def synthetic_docs(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFram
     return spark.createDataFrame(synthetic_docs_pdf(n_docs, seed))
 
 
+def zipf_docs_pdf(n_docs: int = 20_000, n_repos: int = 20, seed: int = 7) -> pd.DataFrame:
+    """Zipf-skewed corpus for WAND-pruning effectiveness scenarios.
+
+    Term mix per doc: ``common0`` in every doc, ``common1..7`` with
+    probability 1/(c+1), a Zipf(1.1) tail of ``w<rank>`` filler, and —
+    the pruning target — one ``rare<r>`` marker in the FIRST 10 docs of
+    each repo. Because posting blocks store dense per-shard ordinals
+    ordered by (repo, path), a rare term's candidates occupy narrow
+    ordinal ranges, so an AND query pairing ``rare<r>`` with a common
+    term only decodes the common term's few overlapping blocks — the
+    realistic rare∧common workload shape the uniform suite in
+    BENCH_QUERIES cannot produce (its every term matches everywhere)."""
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    per_repo = max(1, n_docs // n_repos)
+    for r in range(n_repos):
+        for j in range(per_repo):
+            words = ["common0"]
+            for c in range(1, 8):
+                if rng.random() < 1.0 / (c + 1):
+                    words.append(f"common{c}")
+            for _ in range(30):
+                rank = min(int(rng.paretovariate(1.1)), 5000)
+                words.append(f"w{rank}")
+            if j < 10:
+                words.append(f"rare{r}")
+            rng.shuffle(words)
+            rows.append(
+                {
+                    "repo": f"repo-{r:03d}",
+                    "path": f"src/f{j:05d}.py",
+                    "commit": "c1",
+                    "lang": "text",
+                    "content": " ".join(words),
+                }
+            )
+    return pd.DataFrame(rows, columns=DOCS_COLUMNS)
+
+
+def zipf_docs(
+    spark: SparkSession, n_docs: int = 20_000, n_repos: int = 20, seed: int = 7
+) -> DataFrame:
+    return spark.createDataFrame(zipf_docs_pdf(n_docs, n_repos, seed))
+
+
 def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents parquet into the docs shape
     (delegates to the single identity-mapping rule in
