@@ -210,6 +210,60 @@ def skew_effectiveness(spark, n_docs: int = 20_000) -> dict[str, float]:
     }
 
 
+def ivf_recall(
+    spark, sf_dir: str, k: int = 10, iters: int = 2, n_queries: int = 8,
+) -> dict:
+    """recall@k vs the exact brute-force cosine top-k for the PERSISTED
+    auto-sized IVF store (save_ivf with n_centroids=None -> ~sqrt(n),
+    Lloyd-refined iters>0), over n_queries corpus vectors at several
+    nprobe settings — the recall/scan-fraction curve is the honest
+    quality number next to the store's speed claims (a serving system
+    tunes nprobe against a recall target, so one point says little)."""
+    from pyspark.sql import functions as F
+
+    from posik_engine_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).cache()
+    n = emb.count()
+    path = os.path.join(tempfile.mkdtemp(prefix="posik-ivf-bench-"), "ivf")
+    try:
+        similarity.save_ivf(emb, path, n_centroids=None, iters=iters)
+        store = similarity.IVFStore(spark, path)
+        n_cent = len(store.centroids)
+        qids = [i * max(1, n // n_queries) for i in range(n_queries)]
+        qvecs = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+        ]
+        brutes = [
+            {r["vec_id"] for r in similarity.cosine_topk(emb, qv, k=k).collect()}
+            for qv in qvecs
+        ]
+        curve = {}
+        for nprobe in (4, 8, 16):
+            if nprobe > n_cent:
+                continue
+            rec = [
+                len(b & {r["vec_id"]
+                         for r in store.topk(qv, k=k, nprobe=nprobe).collect()}) / k
+                for qv, b in zip(qvecs, brutes)
+            ]
+            curve[f"nprobe_{nprobe}"] = {
+                f"recall_at_{k}": round(sum(rec) / max(1, len(rec)), 4),
+                "scan_fraction": round(nprobe / n_cent, 4),
+            }
+        return {
+            "n_vectors": n,
+            "n_centroids": n_cent,
+            "iters": iters,
+            "n_queries": len(qvecs),
+            "curve": curve,
+        }
+    finally:
+        emb.unpersist()
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
 def _scale_worker(level: int, corpus_path: str, n_shards: int) -> int:
     """One timed build at one parallelism level (fresh JVM per process —
     restarting SparkContexts in-process breaks the Python accumulator
@@ -444,6 +498,7 @@ def main(argv: list[str] | None = None) -> int:
         ix, docs, build_sec = run_build(spark, args.sf_dir, out, n_shards=n_shards)
         timings, first_pass, wand_diag = run_queries(spark, ix, docs)
         skew_diag = skew_effectiveness(spark)
+        ivf_diag = ivf_recall(spark, args.sf_dir)
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()
@@ -477,6 +532,8 @@ def main(argv: list[str] | None = None) -> int:
         # the skewed rare∧common scenario where the pruning levers can
         # actually fire (the uniform suite's terms match everywhere)
         "wand_skew": skew_diag,
+        # persisted auto-sized IVF quality vs exact brute force
+        "ivf": ivf_diag,
     }
 
     if args.scaling:

@@ -7,6 +7,7 @@ sibling of jobs/build_index.py + jobs/search_cli.py.
         posik_engine_spark/jobs/ann_index.py build \
         --embeddings /data/embeddings.parquet --out /data/ivf \
         [--n-centroids 256] [--iters 3] [--vec-col embedding]
+    # --n-centroids defaults to ~sqrt(n_vectors) (similarity.auto_n_centroids)
 
     # query: probe nprobe partitions for the query vector
     spark-submit --py-files dist/engine.zip \
@@ -54,7 +55,9 @@ def main(argv: list[str] | None = None) -> int:
         n_cent = (
             args.n_centroids
             if args.n_centroids is not None
-            else similarity.DEFAULT_IVF_K
+            # auto-size ~sqrt(n): never ship fixture-scale centroid
+            # counts over a production corpus by omission
+            else similarity.auto_n_centroids(emb.count())
         )
         if n_cent < 1:
             p.error("--n-centroids must be >= 1")

@@ -390,10 +390,19 @@ def ivf_topk(
 
 
 # ------------------------------------------------- persisted IVF index
+def auto_n_centroids(n_vectors: int) -> int:
+    """~sqrt(n) centroids — the standard IVF sizing rule: per-query
+    probe cost is O(n_centroids * dim) for centroid selection plus
+    O(n * nprobe / n_centroids * dim) for the probed partitions, which
+    is minimized (for fixed nprobe) at n_centroids = sqrt(n * nprobe);
+    sqrt(n) is the conventional, nprobe-robust choice."""
+    return max(1, int(round(n_vectors ** 0.5)))
+
+
 def save_ivf(
     emb: DataFrame,
     path: str,
-    n_centroids: int = DEFAULT_IVF_K,
+    n_centroids: int | None = None,
     iters: int = 0,
     vec_col: str = "embedding",
 ) -> None:
@@ -409,7 +418,14 @@ def save_ivf(
     (/root/reference/src/main/java/com/github/dmitriims/posikengine/model/Lemma.java:17)
     and mirrors content_store.py's bucket design (same judge-approved
     pattern, same plan test style). vec_id-sorted within partitions for
-    row-group min/max stats on id point-lookups."""
+    row-group min/max stats on id point-lookups.
+
+    ``n_centroids=None`` auto-sizes to ~sqrt(n) (auto_n_centroids) —
+    the fixture-scale DEFAULT_IVF_K constant stays for the ad-hoc
+    one-shot ivf_topk only, so naive persisted-index builds cannot
+    accidentally ship 8 centroids over a billion vectors."""
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
     cents = ivf_seed_centroids(emb, n_centroids, vec_col)
     if iters:
         cents = ivf_refine_centroids(emb, cents, iters, vec_col)
