@@ -619,7 +619,12 @@ class IndexBuilder:
         return agg
 
     # ------------------------------------------------- incremental (B8)
-    def incremental_update(self, snapshot: DataFrame, partial: bool = False) -> Index:
+    def incremental_update(
+        self,
+        snapshot: DataFrame,
+        partial: bool = False,
+        tombstones: DataFrame | None = None,
+    ) -> Index:
         """Delta reindex against a new source snapshot + deleted-doc GC.
 
         Unchanged docs (same repo/path/commit/content_sha) are never
@@ -635,8 +640,29 @@ class IndexBuilder:
         (/root/reference/.../service/IndexingMonitor.java:53-57).
         Superseded versions of docs that ARE in the snapshot (same
         repo/path, different commit/sha) still count as stale.
+
+        ``tombstones`` (partial mode only): a (repo, path) frame of
+        docs to RETIRE — every indexed version of those paths routes
+        through the same stale path (exact term_stats decrement, shard
+        rewrite, ordinal reassignment), so a streaming pipeline can
+        delete docs without the offline full-snapshot GC. A path both
+        tombstoned and present in the snapshot is re-added (the
+        tombstone applies to previously-indexed versions only).
+        Full-mode updates reject tombstones: the full snapshot already
+        defines the complete corpus, so a tombstone there is either
+        redundant or contradictory.
         """
         spark = self.spark
+        if tombstones is not None and not partial:
+            raise ValueError(
+                "tombstones require partial=True; a full snapshot "
+                "already defines the corpus (absent docs are GC'd)"
+            )
+        tomb_keys = (
+            tombstones.select("repo", "path").dropDuplicates().cache()
+            if tombstones is not None
+            else None
+        )
         t0 = time.time()
         self.recover_incremental()  # finish a crashed prior commit first
         snap_keys = (
@@ -662,9 +688,14 @@ class IndexBuilder:
         # (O(docs of touched repos) read, not O(corpus) — the remaining
         # round-2 incremental scale note). Full-mode deletion GC below
         # still reads everything: a deleted doc can live in any repo.
+        probe_repos = snap_key_view.select("repo")
+        if tomb_keys is not None:
+            # tombstoned paths are probed against the registry too —
+            # their repos must survive the pruning filter
+            probe_repos = probe_repos.unionByName(tomb_keys.select("repo"))
         batch_repos = [
             r["repo"]
-            for r in snap_key_view.select("repo")
+            for r in probe_repos
             .distinct()
             .limit(spec.INCR_REPO_PRUNE_MAX + 1)
             .collect()
@@ -683,6 +714,14 @@ class IndexBuilder:
             stale = old_ds_batch_repos.join(
                 snap_key_view.select("repo", "path"), ["repo", "path"], "left_semi"
             ).join(snap_key_view, DOC_KEY, "left_anti")
+            if tomb_keys is not None:
+                # tombstoned paths: EVERY indexed version retires
+                # (unless the same batch re-adds the path — those rows
+                # are in the snapshot and excluded by the anti-join)
+                stale_tomb = old_ds_batch_repos.join(
+                    tomb_keys, ["repo", "path"], "left_semi"
+                ).join(snap_key_view, DOC_KEY, "left_anti")
+                stale = stale.unionByName(stale_tomb).dropDuplicates(["doc_id"])
         else:
             stale = old_ds.join(snap_key_view, DOC_KEY, "left_anti")
 
@@ -712,6 +751,8 @@ class IndexBuilder:
             prepared_new.unpersist()
             stale.unpersist()
             snap_key_view.unpersist()
+            if tomb_keys is not None:
+                tomb_keys.unpersist()
             return self.load()
 
         # stale removal via anti-join (scales past driver-side isin lists)
@@ -832,6 +873,8 @@ class IndexBuilder:
         prepared_new.unpersist()
         stale.unpersist()
         snap_key_view.unpersist()
+        if tomb_keys is not None:
+            tomb_keys.unpersist()
         return self.load()
 
     # -------------------------------------- incremental commit plumbing

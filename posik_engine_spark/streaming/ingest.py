@@ -53,9 +53,23 @@ EVENTS_SCHEMA = T.StructType(
 
 
 def stream_docs(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    with_deleted: bool = False,
 ) -> DataFrame:
-    r = spark.readStream.schema(DOCS_SCHEMA)
+    """``with_deleted=True`` reads the docs schema extended with a
+    ``deleted`` boolean — rows with deleted=true are TOMBSTONES the
+    sink retires from the index (incremental_index_sink routes them
+    through incremental_update(tombstones=...)). The column must be
+    present from the stream's first batch: the crash-recovery docs log
+    is schema-stable per stream."""
+    schema = DOCS_SCHEMA
+    if with_deleted:
+        schema = T.StructType(
+            DOCS_SCHEMA.fields + [T.StructField("deleted", T.BooleanType())]
+        )
+    r = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     return r.parquet(path)
@@ -99,11 +113,41 @@ def _recover_docs_log(log_path: str) -> None:
     shutil.rmtree(log_path + ".compact.tmp", ignore_errors=True)
 
 
+def _surviving_log_docs(log: DataFrame) -> DataFrame:
+    """The docs a full rebuild of the log should index: deduped by
+    (repo, path, commit), with tombstones applied LATEST-WINS per
+    (repo, path) — a doc row survives only if appended after the
+    path's newest tombstone (``_seq`` = the micro-batch epoch id, which
+    Spark's checkpoint guarantees monotone). Plain upsert-only logs
+    (no ``deleted`` column) pass through the round-3 dedup unchanged."""
+    if "deleted" not in log.columns:
+        return log.dropDuplicates(["repo", "path", "commit"])
+    tombs = (
+        log.filter(F.col("deleted"))
+        .groupBy("repo", "path")
+        .agg(F.max("_seq").alias("_del_seq"))
+    )
+    return (
+        log.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
+        .join(tombs, ["repo", "path"], "left")
+        .filter(F.col("_del_seq").isNull() | (F.col("_seq") > F.col("_del_seq")))
+        .drop("_del_seq")
+        .dropDuplicates(["repo", "path", "commit"])
+    )
+
+
 def _compact_docs_log(spark: SparkSession, log_path: str, n_files: int) -> None:
     """Rewrite the append-only docs log deduped into ``n_files`` parquet
     files via an atomic-ish rename swap (write tmp -> log->old ->
     tmp->log -> drop old); a crash at any point leaves either the old or
-    the new log intact for _recover_docs_log."""
+    the new log intact for _recover_docs_log.
+
+    Tombstones are APPLIED here (dead doc rows and the tombstone rows
+    both drop): any doc row a future rebuild must not index was
+    appended before its path's newest tombstone, and only the LAST
+    micro-batch can ever be replayed (Spark's checkpoint), so a
+    compacted-away tombstone can never be needed again — a replayed
+    last batch re-appends its own tombstone rows along with its docs."""
     import os
     import shutil
 
@@ -111,8 +155,7 @@ def _compact_docs_log(spark: SparkSession, log_path: str, n_files: int) -> None:
     old = log_path + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        spark.read.parquet(log_path)
-        .dropDuplicates(["repo", "path", "commit"])
+        _surviving_log_docs(spark.read.parquet(log_path))
         .repartition(max(1, n_files))
         .write.mode("overwrite")
         .parquet(tmp)
@@ -134,13 +177,19 @@ def incremental_index_sink(
     per-batch work is O(batch), not O(corpus).
 
     Semantics (the stream's upsert/delete policy):
-    - the stream is UPSERT-ONLY: a batch's docs are added, and older
-      versions of the SAME repo/path (different commit/sha) already in
-      the index are delta-removed by ``incremental_update(...,
-      partial=True)`` — the reference's single-page reindex semantics
-      (IndexingMonitor.java:53-57). Docs absent from the stream are
-      never deleted by the stream; corpus-wide deletions run offline
-      via ``incremental_update(full_snapshot)`` (deleted-page GC, S6).
+    - a batch's docs are UPSERTS: they are added, and older versions of
+      the SAME repo/path (different commit/sha) already in the index
+      are delta-removed by ``incremental_update(..., partial=True)`` —
+      the reference's single-page reindex semantics
+      (IndexingMonitor.java:53-57).
+    - if the stream schema carries a ``deleted`` boolean column
+      (stream_docs(with_deleted=True)), rows with deleted=true are
+      TOMBSTONES: every indexed version of that (repo, path) retires
+      through the same stale path (exact term_stats decrement), so a
+      long-lived pipeline deletes docs without the offline
+      full-snapshot GC. Docs merely ABSENT from the stream are still
+      never deleted; corpus-wide reconciliation runs offline via
+      ``incremental_update(full_snapshot)`` (deleted-page GC, S6).
     - exactly-once: Spark checkpoints the batch id; a replayed batch's
       docs are already indexed, so the partial update finds no
       new/changed/stale docs and is a no-op.
@@ -154,35 +203,54 @@ def incremental_index_sink(
     O(compact_every + n_shards) for the stream's lifetime. An Iceberg
     MERGE target would replace the log outright."""
 
-    def handle(batch_df: DataFrame, _epoch: int) -> None:
+    def handle(batch_df: DataFrame, epoch: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
         import os
 
+        has_tombstones = "deleted" in batch_df.columns
         log_path = os.path.join(builder.out_dir, "_docs_log")
         _recover_docs_log(log_path)
-        batch_df.write.mode("append").parquet(log_path)
+        if has_tombstones:
+            # the rebuild path needs batch ORDER to apply tombstones
+            # latest-wins; the epoch id is checkpoint-monotone
+            batch_df.withColumn("_seq", F.lit(epoch).cast("long")).write.mode(
+                "append"
+            ).parquet(log_path)
+        else:
+            batch_df.write.mode("append").parquet(log_path)
         handle._batches_since_compact += 1
         if handle._batches_since_compact >= compact_every:
             _compact_docs_log(spark, log_path, n_files=builder.n_shards)
             handle._batches_since_compact = 0
+        if has_tombstones:
+            ups = batch_df.filter(
+                ~F.coalesce(F.col("deleted"), F.lit(False))
+            ).drop("deleted")
+            tomb = batch_df.filter(F.col("deleted")).select("repo", "path")
+            tomb = tomb if not tomb.isEmpty() else None
+        else:
+            ups, tomb = batch_df, None
         if builder.is_complete():
             # O(batch): only the micro-batch flows through the partial
             # incremental path (stale detection + shard rewrite touch
-            # only the batch's docs/shards)
+            # only the batch's docs/shards); tombstoned docs retire
+            # through the same stale path with exact term_stats
+            # decrements
             builder.incremental_update(
-                batch_df.dropDuplicates(["repo", "path", "commit"]),
+                ups.dropDuplicates(["repo", "path", "commit"]),
                 partial=True,
+                tombstones=tomb,
             )
         else:
             # initial build missing or crashed mid-way (meta.json alone
             # is NOT a completion signal — it lands before the blocks
             # stage); build() resumes from the last committed stage and
-            # consumes the whole log exactly once
+            # consumes the whole log exactly once, tombstones applied
             builder.build(
-                spark.read.parquet(log_path)
-                .dropDuplicates(["repo", "path", "commit"])
+                _surviving_log_docs(spark.read.parquet(log_path))
+                .drop("deleted", "_seq")
             )
 
     handle._batches_since_compact = 0

@@ -234,3 +234,20 @@ def test_adaptive_arrow_batch_sizing(spark):
     with build.adaptive_arrow_batch(small) as rows:
         assert rows == 4096
     assert spark.conf.get(key) == prev
+
+
+def test_hybrid_rrf_uses_topk_heaps_not_global_sort(spark):
+    """rrf_fuse's per-list depth cut must compile to
+    TakeOrderedAndProject (distributed per-partition heaps + driver
+    merge of <= depth rows), never a full Sort+Exchange of the scored
+    lists — the property that keeps fusion O(depth) at corpus scale."""
+    from posik_engine_spark.operators import hybrid
+
+    lex = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).cast("double").alias("score")
+    )
+    sem = spark.range(1000).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 89).cast("double").alias("cosine")
+    )
+    plan = _plan(hybrid.rrf_fuse(lex, sem, depth=50, topk=10))
+    assert "TakeOrderedAndProject" in plan
