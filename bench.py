@@ -369,11 +369,17 @@ def scaling_run(
 def write_baseline_md(
     sf_dir: str, scale: dict, queries: dict[str, float], cpus: int = 32,
     wand: dict | None = None, wand_skew: dict | None = None,
+    ivf: dict | None = None, first_pass: dict[str, float] | None = None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = scale["low"], scale["high"]
     r = scale["results"]
     p50 = statistics.median(queries.values())
+    fp_note = (
+        f" / {statistics.median(first_pass.values()):.3f} s first-pass"
+        if first_pass
+        else ""
+    )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH baseline — measured on this sandbox
@@ -407,12 +413,29 @@ steal time) are suppressed by best-of-N.
 scaling_efficiency = (thr_high / thr_low) / ({hi}/{lo}) = **{scale['efficiency']:.3f}**
 (target >= 0.8 per BASELINE.json)
 
+## Build-throughput attribution (round 4, default-protocol history)
+
+Round 3 reported 457 -> 395 files/s with no cause. Re-measured
+back-to-back on one idle machine (3 isolated `python bench.py` runs
+per HEAD): round-2 and round-3 HEADs are statistically identical
+(491.3 vs 490.5 files/s best-of-3) — that regression was sandbox
+noise. The round-4 ordinal posting layout costs a real, attributed
+~7% (456.6 best-of-3): the `with_ord` registry window + the doc_stats
+cogroup into the block encoder, paid for ~4-8x smaller posting ids and
+the block-range locality shown in the skew section below
+(tests/test_ordinals.py pins the size bound).
+
 ## Query latency (reference query suite, warm engine, local[{cpus}])
 
-p50 = **{p50:.3f} s** (reference readme example: 0.420 s, single-node
-PostgreSQL — /root/reference/readme.md:239)
+p50 = **{p50:.3f} s** warm{fp_note} (reference readme example: 0.420 s,
+single-node PostgreSQL — /root/reference/readme.md:239).
+Warm = the serving steady state: term stats from the driver
+dictionary, posting blocks from the term-block LRU, content rows from
+the content LRU — a fully-warm repeat query runs zero Spark jobs
+(poison-pinned by tests/test_content_cache.py); first-pass includes
+the one pruned block scan + one content fetch a cold query pays.
 
-| query | sec |
+| query | warm sec |
 |---|---|
 """
             + "\n".join(f"| {k} | {v:.3f} |" for k, v in queries.items())
@@ -458,6 +481,29 @@ tests/test_wand_skew.py):
 | candidates (AND-survivors) | {wand_skew.get('candidates', 0)} | {wand_skew.get('candidates', 0) / st:.4f} |
 | candidates_scored | {wand_skew.get('candidates_scored', 0)} | {wand_skew.get('candidates_scored', 0) / st:.4f} |
 """
+            )
+        if ivf:
+            f.write(
+                f"""
+## Persisted IVF recall vs brute force
+
+Auto-sized store (`save_ivf(n_centroids=None)` -> ~sqrt(n) =
+{ivf.get('n_centroids')} centroids over {ivf.get('n_vectors')} vectors,
+Lloyd iters={ivf.get('iters')}), recall@10 against exact brute-force
+cosine over {ivf.get('n_queries')} corpus query vectors. The synthetic
+embeddings are near-random in cosine space (IVF's hardest case); the
+curve, not one point, is the honest number — a deployment tunes nprobe
+against its recall target.
+
+| nprobe | scan fraction | recall@10 |
+|---|---|---|
+"""
+                + "\n".join(
+                    f"| {k.split('_')[1]} | {v['scan_fraction']:.3f} | "
+                    f"{v['recall_at_10']:.2f} |"
+                    for k, v in ivf.get("curve", {}).items()
+                )
+                + "\n"
             )
 
 
@@ -543,7 +589,8 @@ def main(argv: list[str] | None = None) -> int:
         )
         result["scaling_efficiency"] = round(scale["efficiency"], 4)
         write_baseline_md(args.sf_dir, scale, timings, cpus=args.cpus,
-                          wand=wand_diag, wand_skew=skew_diag)
+                          wand=wand_diag, wand_skew=skew_diag,
+                          ivf=ivf_diag, first_pass=first_pass)
 
     print(json.dumps(result))
     return 0
