@@ -60,25 +60,30 @@ def tokenize_py(s: str | None, token_re: re.Pattern | None = None) -> list[str]:
 # --------------------------------------------------------- pandas UDF
 def _tokenize_series(s: pd.Series, token_re: re.Pattern | None = None) -> pd.Series:
     s = s.fillna("")
-    parts = s.str.replace(spec.CAMEL_PASS_2, r"\1 \2", regex=True)
-    parts = parts.str.replace(spec.CAMEL_PASS_1, r"\1 \2", regex=True)
-    parts = parts.str.lower().str.findall(token_re or _TOK)
-    # whole-form expansion, prefiltered: MULTI_WORD_RE cannot match
-    # ACROSS words (its alternatives are all word characters), so a doc
-    # with no match anywhere has no multi-part word and skips the
-    # per-word scan entirely — prose/plain corpora pay one vectorized
-    # contains() instead of a word loop (measured ~2x tokenizer
-    # throughput on ~20 KB no-identifier docs); code-heavy docs pay the
-    # loop, which is the honest cost of 1->N expansion.
-    flagged = s.str.contains(_MULTI, regex=True)
-    wholes = pd.Series([[]] * len(s), index=s.index, dtype=object)
+    split = s.str.replace(spec.CAMEL_PASS_2, r"\1 \2", regex=True)
+    split = split.str.replace(spec.CAMEL_PASS_1, r"\1 \2", regex=True)
+    # whole-form expansion prefilter == MULTI_WORD_RE.search(doc), but
+    # WITHOUT a third regex scan over the corpus: the two camel passes
+    # insert one space per camel boundary, so a doc's length changed iff
+    # a camel alternative of MULTI_WORD_RE matched (pass 2 can neither
+    # create nor destroy a pass-1 adjacency — it only inserts spaces
+    # after an uppercase run), and the remaining alternative is a
+    # literal '_' containment check. Exactness is fuzz-pinned by
+    # tests/test_tokenizer.py; this replaced a contains(MULTI) scan
+    # that cost ~26% of the tokenizer on no-identifier corpora.
+    flagged = (split.str.len() != s.str.len()) | s.str.contains("_", regex=False)
+    parts = split.str.lower().str.findall(token_re or _TOK)
     if flagged.any():
+        # per-word loop only over flagged docs: MULTI_WORD_RE cannot
+        # match ACROSS words (its alternatives are all word
+        # characters), so unflagged docs have no multi-part word
         search = _MULTI.search
-        wholes[flagged] = s[flagged].str.findall(_WORD).map(
+        wholes = s[flagged].str.findall(_WORD).map(
             lambda ws: [w.replace("_", "").lower() for w in ws if search(w)]
         )
+        parts[flagged] = parts[flagged] + wholes
     stop = spec.STOP_TOKENS
-    return (parts + wholes).map(lambda toks: [t for t in toks if t not in stop])
+    return parts.map(lambda toks: [t for t in toks if t not in stop])
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

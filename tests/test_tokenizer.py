@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from posik_engine_spark import spec
 from posik_engine_spark.functions.tokenizer import (
+    _tokenize_series,
     tokenize_expr,
     tokenize_py,
     tokenize_sql_duckdb,
@@ -107,6 +108,30 @@ def test_stop_tokens_frozen():
     # guard against accidental spec drift: stop set is part of rank identity
     assert "the" in spec.STOP_TOKENS and "def" not in spec.STOP_TOKENS
     assert len(spec.STOP_TOKENS) == 25
+
+
+def test_series_form_fuzz_matches_python():
+    """_tokenize_series == tokenize_py on random ASCII/camel/underscore
+    soup (no Spark — exercises the pandas form directly, at volume).
+    Pins the whole-form prefilter's length-trick: the camel passes'
+    length delta + a literal '_' check must equal MULTI_WORD_RE.search
+    on every input, or flagged docs would silently lose whole-form
+    tokens."""
+    import random
+    import string
+
+    import pandas as pd
+
+    rng = random.Random(20260818)
+    alpha = string.ascii_letters + string.digits + "_ -./\n"
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        for _ in range(5000)
+    ] + ["ABCDef", "aB", "A_b", "_", "AB", "ABc", "xYz", "", "a-b",
+         "HTTPResponse", "fooBar_baz", "ABCdef", "aAb", "endsWithCap_X"]
+    got = _tokenize_series(pd.Series(texts)).tolist()
+    expect = [tokenize_py(t) for t in texts]
+    assert got == expect
 
 
 def test_four_way_agreement_randomized(spark):
