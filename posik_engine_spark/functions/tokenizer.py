@@ -58,32 +58,117 @@ def tokenize_py(s: str | None, token_re: re.Pattern | None = None) -> list[str]:
 
 
 # --------------------------------------------------------- pandas UDF
+# Coarse gate for the camel/underscore machinery: both camel passes and
+# the '_' whole-form rule can only fire on a doc containing an ASCII
+# uppercase letter or an underscore (MULTI_WORD_RE's alternatives all
+# require one), and a single-char-class scan costs ~1/7th of the two
+# sub passes. Lowercase-only docs (most prose) skip the subs entirely;
+# mixed-case docs pay one extra cheap scan (<5%).
+_COARSE = re.compile(r"[A-Z_]")
+
+
+def _split_camel(sub: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Camel passes over coarse-flagged docs -> (split text, flag of
+    docs that need whole-form expansion).
+
+    The whole-form flag == MULTI_WORD_RE.search(doc) but WITHOUT a
+    third regex scan: the camel passes insert one space per camel
+    boundary, so a doc's length changed iff a camel alternative of
+    MULTI_WORD_RE matched (pass 2 can neither create nor destroy a
+    pass-1 adjacency — it only inserts spaces after an uppercase run),
+    and the remaining alternative is a literal '_' containment check.
+    Exactness is fuzz-pinned by tests/test_tokenizer.py."""
+    split = sub.str.replace(spec.CAMEL_PASS_2, r"\1 \2", regex=True)
+    split = split.str.replace(spec.CAMEL_PASS_1, r"\1 \2", regex=True)
+    flagged = (split.str.len() != sub.str.len()) | sub.str.contains(
+        "_", regex=False
+    )
+    return split, flagged
+
+
+def _whole_forms(words: list[str]) -> list[str]:
+    """Whole-form expansion of one doc's raw words (1->N step): the
+    joined lowercase form of every multi-part identifier."""
+    search = _MULTI.search
+    return [w.replace("_", "").lower() for w in words if search(w)]
+
+
 def _tokenize_series(s: pd.Series, token_re: re.Pattern | None = None) -> pd.Series:
     s = s.fillna("")
-    split = s.str.replace(spec.CAMEL_PASS_2, r"\1 \2", regex=True)
-    split = split.str.replace(spec.CAMEL_PASS_1, r"\1 \2", regex=True)
-    # whole-form expansion prefilter == MULTI_WORD_RE.search(doc), but
-    # WITHOUT a third regex scan over the corpus: the two camel passes
-    # insert one space per camel boundary, so a doc's length changed iff
-    # a camel alternative of MULTI_WORD_RE matched (pass 2 can neither
-    # create nor destroy a pass-1 adjacency — it only inserts spaces
-    # after an uppercase run), and the remaining alternative is a
-    # literal '_' containment check. Exactness is fuzz-pinned by
-    # tests/test_tokenizer.py; this replaced a contains(MULTI) scan
-    # that cost ~26% of the tokenizer on no-identifier corpora.
-    flagged = (split.str.len() != s.str.len()) | s.str.contains("_", regex=False)
+    coarse = s.str.contains(_COARSE)
+    if coarse.any():
+        sub = s[coarse]
+        split_sub, flagged = _split_camel(sub)
+        split = s.copy()
+        split[coarse] = split_sub
+    else:
+        split = s
+        flagged = None
     parts = split.str.lower().str.findall(token_re or _TOK)
-    if flagged.any():
+    if flagged is not None and flagged.any():
         # per-word loop only over flagged docs: MULTI_WORD_RE cannot
         # match ACROSS words (its alternatives are all word
         # characters), so unflagged docs have no multi-part word
-        search = _MULTI.search
-        wholes = s[flagged].str.findall(_WORD).map(
-            lambda ws: [w.replace("_", "").lower() for w in ws if search(w)]
-        )
-        parts[flagged] = parts[flagged] + wholes
+        idx = flagged[flagged].index
+        wholes = s[idx].str.findall(_WORD).map(_whole_forms)
+        parts[idx] = parts[idx] + wholes
     stop = spec.STOP_TOKENS
     return parts.map(lambda toks: [t for t in toks if t not in stop])
+
+
+def _count_series(
+    s: pd.Series,
+    token_re: re.Pattern | None = None,
+    forms=None,
+) -> tuple[pd.Series, list[int]]:
+    """Fused tokenize + per-doc term count (the build hot path):
+    strings in, (Counter per doc, post-filter token count per doc) out.
+
+    Equivalent to ``Counter(_tokenize_series(s)[i])`` doc by doc —
+    pinned by tests — but never materializes the token lists twice:
+    counts come straight off the findall result (C-level Counter), stop
+    tokens are removed with ~25 dict pops per doc instead of a scan
+    over every token, and the optional 1->N normal-form expansion
+    (``forms``, a Normalizer) runs once per UNIQUE surface token
+    instead of once per occurrence."""
+    from collections import Counter
+
+    s = s.fillna("")
+    coarse = s.str.contains(_COARSE)
+    if coarse.any():
+        sub = s[coarse]
+        split_sub, flagged = _split_camel(sub)
+        split = s.copy()
+        split[coarse] = split_sub
+    else:
+        split = s
+        flagged = None
+    counters = split.str.lower().str.findall(token_re or _TOK).map(Counter)
+    if flagged is not None and flagged.any():
+        for i, ws in s[flagged[flagged].index].str.findall(_WORD).items():
+            counters[i].update(_whole_forms(ws))
+    stop = spec.STOP_TOKENS_SORTED
+    lengths: list[int] = []
+    if forms is None:
+        for c in counters:
+            for t in stop:
+                c.pop(t, None)
+            lengths.append(sum(c.values()))
+        return counters, lengths
+    # stemmed path: stop filter applies to SURFACE tokens (before
+    # expansion), every normal form of a surviving token is counted
+    # (reference service/LemmaUtils.java:67)
+    expanded = []
+    for c in counters:
+        for t in stop:
+            c.pop(t, None)
+        e = Counter()
+        for t, n in c.items():
+            for f in forms(t):
+                e[f] += n
+        expanded.append(e)
+        lengths.append(sum(e.values()))
+    return pd.Series(expanded, index=counters.index), lengths
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -288,54 +288,50 @@ _PREP_TYPE = T.StructType(
 )
 
 
-def _count_frame(pt, ct):  # pragma: no cover (executors)
-    """(path-token series, content-token series) -> counts DataFrame."""
+def _count_frame(path_counts, content_counts):  # pragma: no cover (executors)
+    """Two _count_series results -> the _PREP_TYPE counts DataFrame."""
     import pandas as pd
-    from collections import Counter
 
-    counts, lp, lc = [], [], []
-    for p_toks, c_toks in zip(pt, ct):
-        cp = Counter(p_toks)
-        cc = Counter(c_toks)
-        counts.append(
-            [
-                {"term": t, "tfp": cp.get(t, 0), "tfc": cc.get(t, 0)}
-                for t in (cp.keys() | cc.keys())
-            ]
-        )
-        lp.append(len(p_toks))
-        lc.append(len(c_toks))
+    (cp, lp), (cc, lc) = path_counts, content_counts
+    counts = [
+        [
+            {"term": t, "tfp": p.get(t, 0), "tfc": c.get(t, 0)}
+            for t in (p.keys() | c.keys())
+        ]
+        for p, c in zip(cp, cc)
+    ]
     return pd.DataFrame({"counts": counts, "len_path": lp, "len_content": lc})
 
 
 @F.pandas_udf(_PREP_TYPE)
 def _tokenize_count_udf(path, content):  # pragma: no cover (executors)
     """Fused tokenize + count: strings in, compact (term, tfp, tfc)
-    maps + field lengths out — one Arrow round trip per doc batch."""
-    from posik_engine_spark.functions.tokenizer import _tokenize_series
+    maps + field lengths out — one Arrow round trip per doc batch,
+    counts built straight off the regex scan (no token-list second
+    pass, stop removal via dict pops)."""
+    from posik_engine_spark.functions.tokenizer import _count_series
 
-    return _count_frame(_tokenize_series(path), _tokenize_series(content))
+    return _count_frame(_count_series(path), _count_series(content))
 
 
 def _tokenize_count_stem_udf(stemmer: str):
     """Stemmed variant of the fused UDF: same single Arrow round trip,
-    tokens mapped through the named stemmer before counting. The
-    stemmer NAME (a string) is what the closure captures — executors
-    re-resolve it locally, and per-word memoization makes the map cost
-    ~one dict hit per token."""
+    1->N normal-form expansion applied once per unique surface token
+    (reference service/LemmaUtils.java:67 counts every normal form).
+    The stemmer NAME (a string) is what the closure captures —
+    executors re-resolve it locally, and per-word memoization makes
+    each expansion ~one dict hit."""
 
     @F.pandas_udf(_PREP_TYPE)
     def _udf(path, content):  # pragma: no cover (executors)
         from posik_engine_spark.functions.stemmer import resolve
-        from posik_engine_spark.functions.tokenizer import _tokenize_series
+        from posik_engine_spark.functions.tokenizer import _count_series
 
         norm = resolve(stemmer)
-        # 1->N expansion: every normal form of a token is counted
-        # (reference service/LemmaUtils.java:67); plain stemmers
-        # return 1-tuples so this is the round-3 behavior for them
-        pt = _tokenize_series(path, norm.token_re).map(norm.flat)
-        ct = _tokenize_series(content, norm.token_re).map(norm.flat)
-        return _count_frame(pt, ct)
+        return _count_frame(
+            _count_series(path, norm.token_re, forms=norm),
+            _count_series(content, norm.token_re, forms=norm),
+        )
 
     return _udf
 

@@ -177,3 +177,40 @@ def test_four_way_agreement_randomized(spark):
         assert got_udf[i] == expect[i], (t, got_udf[i], expect[i])
         assert got_expr[i] == expect[i], (t, got_expr[i], expect[i])
         assert got_sql[i] == expect[i], (t, got_sql[i], expect[i])
+
+
+def test_count_series_fuzz_matches_tokenize_series():
+    """_count_series (the fused build hot path) == Counter over
+    _tokenize_series, doc by doc, on random camel/underscore/unicode
+    soup — both plain and through a 1->N normalizer (where the
+    expansion must run AFTER the stop filter and count every normal
+    form). Also pins the coarse [A-Z_] gate: lowercase-only docs must
+    produce identical counts despite skipping the camel passes."""
+    import random
+    import string
+    from collections import Counter
+
+    import pandas as pd
+
+    from posik_engine_spark.functions.stemmer import resolve
+    from posik_engine_spark.functions.tokenizer import _count_series
+
+    rng = random.Random(20260818)
+    alpha = string.ascii_letters + string.digits + "_ -./\n" + "яЁё"
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        for _ in range(4000)
+    ] + ["ABCDef", "aB", "A_b", "", "the and with", "a-b the A_B",
+         "HTTPResponse fooBar_baz", "all lowercase prose only",
+         "Тест тесто", None]
+    s = pd.Series(texts)
+    toks = _tokenize_series(s)
+    counters, lengths = _count_series(s)
+    assert [dict(c) for c in counters] == [dict(Counter(t)) for t in toks]
+    assert lengths == [len(t) for t in toks]
+
+    norm = resolve("bilingual+exact")
+    toks_n = _tokenize_series(s, norm.token_re).map(norm.flat)
+    counters_n, lengths_n = _count_series(s, norm.token_re, forms=norm)
+    assert [dict(c) for c in counters_n] == [dict(Counter(t)) for t in toks_n]
+    assert lengths_n == [len(t) for t in toks_n]
