@@ -93,17 +93,23 @@ def _whole_forms(words: list[str]) -> list[str]:
     return [w.replace("_", "").lower() for w in words if search(w)]
 
 
+def _gated_split(s: pd.Series) -> tuple[pd.Series, pd.Series | None]:
+    """Coarse-gated camel splitting shared by the token-list and
+    counted forms (one implementation — the two callers' equivalence is
+    fuzz-pinned and must not be able to desynchronize): returns (split
+    text, whole-form flag or None when no doc passed the gate)."""
+    coarse = s.str.contains(_COARSE)
+    if not coarse.any():
+        return s, None
+    split_sub, flagged = _split_camel(s[coarse])
+    split = s.copy()
+    split[coarse] = split_sub
+    return split, flagged
+
+
 def _tokenize_series(s: pd.Series, token_re: re.Pattern | None = None) -> pd.Series:
     s = s.fillna("")
-    coarse = s.str.contains(_COARSE)
-    if coarse.any():
-        sub = s[coarse]
-        split_sub, flagged = _split_camel(sub)
-        split = s.copy()
-        split[coarse] = split_sub
-    else:
-        split = s
-        flagged = None
+    split, flagged = _gated_split(s)
     parts = split.str.lower().str.findall(token_re or _TOK)
     if flagged is not None and flagged.any():
         # per-word loop only over flagged docs: MULTI_WORD_RE cannot
@@ -134,15 +140,7 @@ def _count_series(
     from collections import Counter
 
     s = s.fillna("")
-    coarse = s.str.contains(_COARSE)
-    if coarse.any():
-        sub = s[coarse]
-        split_sub, flagged = _split_camel(sub)
-        split = s.copy()
-        split[coarse] = split_sub
-    else:
-        split = s
-        flagged = None
+    split, flagged = _gated_split(s)
     counters = split.str.lower().str.findall(token_re or _TOK).map(Counter)
     if flagged is not None and flagged.any():
         for i, ws in s[flagged[flagged].index].str.findall(_WORD).items():

@@ -95,9 +95,18 @@ def rrf_fuse_rows(
     """Driver-side RRF over already-materialized ranked id lists (the
     serving path: SearchEngine.search hits + IVFStore.topk rows are both
     ≤ k driver rows — fusing them through Spark would cost two jobs for
-    nothing). Same math as rrf_fuse; list order = rank order."""
+    nothing). Same math as rrf_fuse INCLUDING the round-6 score
+    canonicalization — without it two docs whose exact doubles differ
+    by <1e-6 would tie (then order by doc_id) in the DataFrame path but
+    order by raw score here, breaking cross-path determinism. List
+    order = rank order."""
+    from posik_engine_spark.operators.similarity import round6_half_up
+
     acc: dict[int, float] = {}
     for ids in ranked_lists:
         for r, d in enumerate(ids, start=1):
             acc[d] = acc.get(d, 0.0) + 1.0 / (k0 + r)
-    return sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+    return sorted(
+        ((d, round6_half_up(v)) for d, v in acc.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:topk]

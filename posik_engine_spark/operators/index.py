@@ -139,14 +139,21 @@ def build_blocks(
         # doc_id -> ord, vectorized: sort the registry once, then one
         # searchsorted over all posting rows
         reg_ids = ord_pdf["doc_id"].to_numpy(np.int64)
+        if not len(reg_ids):
+            # postings with NO registry rows for the shard would
+            # otherwise die below on an empty-array index, masking the
+            # descriptive out-of-sync diagnostic
+            raise ValueError(
+                f"build_blocks shard {shard}: {len(pdf)} posting rows "
+                f"but an empty shard registry (tf and doc_stats out of "
+                f"sync)"
+            )
         order = np.argsort(reg_ids, kind="mergesort")
         reg_ids = reg_ids[order]
         reg_ords = ord_pdf["ord"].to_numpy(np.int64)[order]
         ids = pdf["doc_id"].to_numpy(np.int64)
         pos = np.searchsorted(reg_ids, ids)
-        ok = (pos < len(reg_ids)) & (
-            reg_ids[np.minimum(pos, max(len(reg_ids) - 1, 0))] == ids
-        )
+        ok = (pos < len(reg_ids)) & (reg_ids[np.minimum(pos, len(reg_ids) - 1)] == ids)
         if not ok.all():
             raise ValueError(
                 f"build_blocks shard {shard}: {int((~ok).sum())} posting "

@@ -136,6 +136,10 @@ def oracle_search(
     (topk, surviving_terms)."""
     if not query or not query.strip():
         raise SearchError("empty query")
+    if limit <= 0:
+        # parity with SearchEngine.search: invalid pagination is user
+        # error rejected before tokenization, not a nothing-found result
+        raise SearchError(f"invalid limit {limit}: must be >= 1")
     raw = tokenize_py(query)
     if not raw:
         raise SearchError("query contains only stop words or garbage")

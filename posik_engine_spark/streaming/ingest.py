@@ -116,10 +116,16 @@ def _recover_docs_log(log_path: str) -> None:
 def _surviving_log_docs(log: DataFrame) -> DataFrame:
     """The docs a full rebuild of the log should index: deduped by
     (repo, path, commit), with tombstones applied LATEST-WINS per
-    (repo, path) — a doc row survives only if appended after the
+    (repo, path) — a doc row survives only if appended at or after the
     path's newest tombstone (``_seq`` = the micro-batch epoch id, which
-    Spark's checkpoint guarantees monotone). Plain upsert-only logs
-    (no ``deleted`` column) pass through the round-3 dedup unchanged."""
+    Spark's checkpoint guarantees monotone). SAME-epoch doc rows
+    survive (>=, not >) because that is the live path's semantics: a
+    batch carrying both a tombstone and a doc row for one path re-adds
+    the doc — incremental_update's tombstone retires only versions the
+    snapshot does not contain (lifecycle.py stale_tomb anti-join), so
+    the recovery log must keep it too or a crash-rebuild would silently
+    drop a doc the stream indexed. Plain upsert-only logs (no
+    ``deleted`` column) pass through the round-3 dedup unchanged."""
     if "deleted" not in log.columns:
         return log.dropDuplicates(["repo", "path", "commit"])
     tombs = (
@@ -130,7 +136,7 @@ def _surviving_log_docs(log: DataFrame) -> DataFrame:
     return (
         log.filter(~F.coalesce(F.col("deleted"), F.lit(False)))
         .join(tombs, ["repo", "path"], "left")
-        .filter(F.col("_del_seq").isNull() | (F.col("_seq") > F.col("_del_seq")))
+        .filter(F.col("_del_seq").isNull() | (F.col("_seq") >= F.col("_del_seq")))
         .drop("_del_seq")
         .dropDuplicates(["repo", "path", "commit"])
     )
@@ -228,8 +234,11 @@ def incremental_index_sink(
             ups = batch_df.filter(
                 ~F.coalesce(F.col("deleted"), F.lit(False))
             ).drop("deleted")
+            # passed unconditionally — an emptiness probe here would be
+            # an extra Spark job on EVERY micro-batch; an empty
+            # tombstone frame just contributes nothing to the stale
+            # anti-joins inside incremental_update
             tomb = batch_df.filter(F.col("deleted")).select("repo", "path")
-            tomb = tomb if not tomb.isEmpty() else None
         else:
             ups, tomb = batch_df, None
         if builder.is_complete():

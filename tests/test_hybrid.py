@@ -18,9 +18,10 @@ def test_rrf_fuse_rows_math():
     out = hybrid.rrf_fuse_rows([[7, 3, 9], [3, 7]], topk=4)
     assert [d for d, _ in out] == [3, 7, 9]
     s = dict(out)
-    assert s[3] == pytest.approx(1 / 62 + 1 / 61)
-    assert s[7] == pytest.approx(1 / 61 + 1 / 62)
-    assert s[9] == pytest.approx(1 / 63)
+    # scores are round-6 canonical (the DataFrame path's F.round)
+    assert s[3] == round(1 / 62 + 1 / 61, 6)
+    assert s[7] == round(1 / 61 + 1 / 62, 6)
+    assert s[9] == round(1 / 63, 6)
     # identical scores tie-break on the smaller id
     assert out[0][0] == 3 and out[0][1] == out[1][1]
 
@@ -93,3 +94,18 @@ def test_serving_fusion_engine_plus_ivf(spark, tmp_path):
     assert ids <= set(lex_ids) | set(sem_ids)
     scores = [s for _, s in fused]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fuse_rows_rounds_to_6_like_dataframe_path():
+    """Cross-path determinism: the driver-side fusion must emit the
+    SAME round-6 canonical scores as rrf_fuse's F.round(...,6) — raw
+    doubles would order sub-1e-6 differences that the DataFrame path
+    deliberately ties (then breaks by doc_id)."""
+    from posik_engine_spark.operators.hybrid import rrf_fuse_rows
+
+    out = dict(rrf_fuse_rows([[1, 2], [2, 1]], topk=2))
+    # both docs: 1/61 + 1/62 = 0.03252... -> exactly 6 decimals
+    assert out[1] == out[2]
+    assert out[1] == round(1 / 61 + 1 / 62, 6)
+    solo = dict(rrf_fuse_rows([[7]], topk=1))
+    assert solo[7] == 0.016393  # 1/61 canonicalized, not 0.0163934...

@@ -338,3 +338,61 @@ def test_tombstone_then_readd_survives(spark, tmp_path):
         (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
     ).collect()
     assert [r["commit"] for r in rows] == ["c_readd"]
+
+
+def test_same_batch_tombstone_and_readd_survives(spark, tmp_path):
+    """A single micro-batch carrying BOTH a tombstone and a re-add row
+    for one path (availableNow coalescing a delete file with a re-add
+    file) must keep the doc: the live path re-adds it (the tombstone
+    retires only versions the snapshot lacks), so the recovery-log view
+    and compaction must agree — same-epoch doc rows survive (_seq >=
+    _del_seq, not >), or a crash-rebuild would drop a doc the stream
+    indexed."""
+    docs = corpus.synthetic_docs(spark, 20, seed=47).cache()
+    victim = docs.filter(F.col("content") != "").orderBy("repo", "path").limit(1).collect()[0]
+    in_dir = str(tmp_path / "arrivals")
+    docs.withColumn("deleted", F.lit(False)).coalesce(1).write.mode("append").parquet(in_dir)
+    builder = IndexBuilder(spark, str(tmp_path / "ix"), n_shards=2)
+
+    def run_batch():
+        q = ingest.incremental_index_sink(
+            ingest.stream_docs(spark, in_dir, with_deleted=True),
+            builder, checkpoint_dir=str(tmp_path / "ckpt_sb"),
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    run_batch()
+    # ONE batch: tombstone + re-add of the same path (both files land
+    # before the next availableNow trigger -> same epoch)
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean"
+    )
+    spark.createDataFrame(
+        [(victim["repo"], victim["path"], victim["commit"], victim["lang"],
+          victim["content"], True)], schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [(victim["repo"], victim["path"], "c_samebatch", victim["lang"],
+          "same batch zzsamebatchterm content", False)], schema,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_batch()
+
+    # live index re-added the doc
+    ix = builder.load()
+    assert "zzsamebatchterm" in {r["term"] for r in ix.term_stats.collect()}
+    # recovery-log view agrees with the live path
+    log_path = str(tmp_path / "ix" / "_docs_log")
+    surviving = ingest._surviving_log_docs(spark.read.parquet(log_path))
+    rows = surviving.filter(
+        (F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"])
+    ).collect()
+    assert [r["commit"] for r in rows] == ["c_samebatch"]
+    # ...and compaction (which APPLIES tombstones) keeps it too
+    ingest._compact_docs_log(spark, log_path, n_files=2)
+    rows = (
+        ingest._surviving_log_docs(spark.read.parquet(log_path))
+        .filter((F.col("repo") == victim["repo"]) & (F.col("path") == victim["path"]))
+        .collect()
+    )
+    assert [r["commit"] for r in rows] == ["c_samebatch"]
