@@ -308,6 +308,32 @@ def _scale_worker(level: int, corpus_path: str, n_shards: int) -> int:
     return 0
 
 
+def _round_efficiency(rd: dict, n_low: int, n_high: int) -> float:
+    return (rd[n_high]["files_per_sec"] / rd[n_low]["files_per_sec"]) / (
+        n_high / n_low
+    )
+
+
+def _summarize_rounds(rounds: list[dict], n_low: int, n_high: int) -> dict:
+    """Pick the headline round (least combined wall = the round least
+    disturbed by host noise) and its efficiency, with the per-round
+    spread preserved for the report."""
+    if not rounds:
+        raise ValueError("scaling needs runs >= 1 (no rounds measured)")
+    best_round = min(
+        rounds,
+        key=lambda rd: rd[n_low]["build_sec"] + rd[n_high]["build_sec"],
+    )
+    effs = [_round_efficiency(rd, n_low, n_high) for rd in rounds]
+    return {
+        "low": n_low,
+        "high": n_high,
+        "results": best_round,
+        "efficiency": _round_efficiency(best_round, n_low, n_high),
+        "efficiency_per_round": [round(e, 3) for e in effs],
+    }
+
+
 def scaling_run(
     sf_dir: str, cpus: int, replicate: int, runs: int = 3, inflate: int = 16
 ) -> dict:
@@ -315,9 +341,14 @@ def scaling_run(
     (cores + proportional shuffle partitions) differs — the sandbox
     substitute for N vs 4N executors (BASELINE.md protocol). Corpus is
     deterministically replicated so real work dominates fixed overhead.
-    Best of ``runs`` per level; each run is an isolated subprocess."""
+    ``runs`` INTERLEAVED low/high rounds, each an isolated subprocess
+    pair; efficiency is computed per round and the headline is the
+    round with the least combined wall (see _summarize_rounds)."""
     import shutil as _shutil
     import subprocess
+
+    if runs < 1:
+        raise ValueError(f"scaling needs runs >= 1, got {runs}")
 
     # Levels sit inside this VM's LINEAR scaling region: the 32 vCPUs
     # are host-backed by ~16 physical execution resources (measured:
@@ -382,36 +413,16 @@ def scaling_run(
                     file=sys.stderr,
                 )
                 this_round[level] = r
-            n_high = 4 * n_low
-            r_eff = (
-                this_round[n_high]["files_per_sec"]
-                / this_round[n_low]["files_per_sec"]
-            ) / (n_high / n_low)
-            print(f"SCALE_ROUND efficiency={r_eff:.3f}", file=sys.stderr)
+            print(
+                f"SCALE_ROUND efficiency="
+                f"{_round_efficiency(this_round, n_low, 4 * n_low):.3f}",
+                file=sys.stderr,
+            )
             rounds.append(this_round)
     finally:
         shutil.rmtree(corpus, ignore_errors=True)
-    n_high = 4 * n_low
-    # headline round: least combined wall = the round least disturbed
-    # by host noise (a noisy-neighbor stall only ever ADDS time)
-    best_round = min(
-        rounds,
-        key=lambda rd: rd[n_low]["build_sec"] + rd[n_high]["build_sec"],
-    )
-    effs = [
-        (rd[n_high]["files_per_sec"] / rd[n_low]["files_per_sec"])
-        / (n_high / n_low)
-        for rd in rounds
-    ]
-    eff = (
-        best_round[n_high]["files_per_sec"] / best_round[n_low]["files_per_sec"]
-    ) / (n_high / n_low)
     return {
-        "low": n_low,
-        "high": n_high,
-        "results": best_round,
-        "efficiency": eff,
-        "efficiency_per_round": [round(e, 3) for e in effs],
+        **_summarize_rounds(rounds, n_low, 4 * n_low),
         "replicate": replicate,
         "inflate": inflate,
     }
@@ -466,8 +477,11 @@ slowdown living entirely in JVM CPU time (~130-175 CPU-s clean vs
 modes), with per-CPU steal at 0%, G1-vs-ParallelGC making no
 difference, and no dependence on the preceding run (controlled
 sync/cool-down test) — i.e. host-phase capacity changes, not anything
-the build does. A slow phase can only LOWER a round's measured
-efficiency, so the clean-window headline below understates nothing.
+the build does. A slow phase DEFLATES a round's efficiency when it
+hits the high-parallelism run and INFLATES it when it hits the
+low-parallelism run, which is why the headline is chosen by least
+combined wall — the round both distortions disturbed least — and
+never by best ratio.
 
 ## Two-parallelism-level scaling evidence (substitute for N vs 4N executors)
 

@@ -1,0 +1,60 @@
+"""Unit tests for the scaling-bench round summary (bench.py).
+
+The measurement loop itself needs subprocesses and minutes of wall; the
+selection/efficiency logic is pure and pinned here: the headline must
+come from ONE round (both levels measured in the same host-drift
+window, never each level's independent best), chosen by least combined
+wall, with the full per-round spread preserved.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _round_efficiency, _summarize_rounds  # noqa: E402
+
+
+def _round(lo_wall, hi_wall, n_docs=320_000, n_low=2, n_high=8):
+    return {
+        n_low: {"build_sec": lo_wall, "files_per_sec": n_docs / lo_wall},
+        n_high: {"build_sec": hi_wall, "files_per_sec": n_docs / hi_wall},
+    }
+
+
+def test_round_efficiency_is_speedup_over_core_ratio():
+    # 4x cores, 4x throughput -> 1.0; 4x cores, 2x throughput -> 0.5
+    assert _round_efficiency(_round(400.0, 100.0), 2, 8) == pytest.approx(1.0)
+    assert _round_efficiency(_round(400.0, 200.0), 2, 8) == pytest.approx(0.5)
+
+
+def test_headline_is_least_combined_wall_not_best_ratio():
+    clean = _round(354.0, 106.0)          # combined 460, eff ~0.835
+    thrashed_lo = _round(700.0, 110.0)    # combined 810, eff ~1.59 (inflated!)
+    thrashed_hi = _round(350.0, 200.0)    # combined 550, eff ~0.44 (deflated)
+    s = _summarize_rounds([thrashed_lo, clean, thrashed_hi], 2, 8)
+    # the slow-low round has the BEST ratio but must not win: its
+    # denominator was measured on a degraded machine
+    assert s["results"] is clean
+    assert s["efficiency"] == pytest.approx(_round_efficiency(clean, 2, 8))
+    # the spread stays visible for the report, in measurement order
+    assert len(s["efficiency_per_round"]) == 3
+    assert s["efficiency_per_round"][1] == pytest.approx(0.835, abs=0.001)
+
+
+def test_headline_pairs_levels_from_one_round():
+    # best-of-per-level would pick lo from round A and hi from round B
+    # (eff 1.0); the paired summary may not exceed every round's eff
+    a = _round(300.0, 150.0)  # fast lo, slow hi
+    b = _round(600.0, 75.0)   # slow lo, fast hi
+    s = _summarize_rounds([a, b], 2, 8)
+    assert s["results"] in (a, b)
+    cross = (320_000 / 75.0) / (320_000 / 300.0) / 4.0
+    assert s["efficiency"] < cross  # never the cross-window pairing
+
+
+def test_empty_rounds_rejected():
+    with pytest.raises(ValueError, match="runs >= 1"):
+        _summarize_rounds([], 2, 8)
