@@ -59,13 +59,27 @@ def save_content_store(
 
 
 class ContentStore:
-    """Point-lookup handle over a save_content_store dir."""
+    """Point-lookup handle over a save_content_store dir.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``fetch`` serves driver-direct from the parquet files (pyarrow:
+    bucket hive pruning + doc_id row-group pruning — single-digit ms)
+    when the dir is local, falling back to the pruned Spark plan
+    otherwise; ``direct=False`` forces the Spark path (equivalence is
+    test-pinned). ``lookup_plan`` stays the distributed access path for
+    callers composing it into bigger plans."""
+
+    def __init__(self, spark: SparkSession, path: str, direct: bool = True):
         with open(os.path.join(path, "_content_store.json")) as f:
             self.n_buckets = int(json.load(f)["n_buckets"])
         self.path = path
         self._df = spark.read.parquet(path)
+        self._direct = None
+        if direct and os.path.isdir(path):
+            from posik_engine_spark.operators.direct_io import (
+                DirectContentReader,
+            )
+
+            self._direct = DirectContentReader(path, self.n_buckets)
 
     def lookup_plan(self, ids: list[int]) -> DataFrame:
         """The pruned-scan plan for a batch of doc_ids: bucket IN (...)
@@ -83,4 +97,6 @@ class ContentStore:
     def fetch(self, ids: list[int]) -> dict[int, Row]:
         if not ids:
             return {}
+        if self._direct is not None:
+            return self._direct.fetch(ids)
         return {r["doc_id"]: r for r in self.lookup_plan(ids).collect()}

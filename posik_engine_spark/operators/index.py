@@ -67,8 +67,26 @@ BLOCKS_SCHEMA = (
 # shards silently violates rank identity (df/idf stats and postings
 # disagree on what a token is). v2 = inline lenp/lenc norms; v3 = 1->N
 # whole-identifier expansion (functions/tokenizer.py); v4 = dense
-# per-shard ordinals in the posting blocks + ``ord`` in doc_stats.
-INDEX_FORMAT_VERSION = 4
+# per-shard ordinals in the posting blocks + ``ord`` in doc_stats;
+# v5 = hash-bucketed term dictionary files (tbucket hive partition).
+INDEX_FORMAT_VERSION = 5
+
+
+def with_term_bucket(
+    ts: DataFrame, n_buckets: int = spec.TERM_STATS_BUCKETS
+) -> DataFrame:
+    """Attach the dictionary hash bucket: pmod(crc32(term), N). The
+    on-disk term_stats is hive-partitioned by it (term-sorted within),
+    so a per-query dictionary probe prunes to its terms' buckets + row
+    groups, and the dictionary WRITE parallelizes N-ways instead of
+    funnelling the whole vocabulary through one task — the round-4
+    verdict's 10^8-term scale fix. crc32 (not xxhash64) because the
+    query side computes the same bucket driver-side with zlib.crc32
+    (operators/direct_io.term_bucket) without a Spark job."""
+    return ts.withColumn(
+        "tbucket",
+        F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"),
+    )
 
 
 def kernel_np(
@@ -222,6 +240,15 @@ class Index:
     # SAME function or stemmed terms would never match (the reference
     # shares one MorphologyService across indexing and search)
     stemmer: str | None = None
+    # local on-disk dir backing the tables (save_index / IndexBuilder
+    # layout) when known: SearchEngine serves its cold-query point
+    # lookups driver-direct from these files (operators/direct_io.py)
+    # instead of paying a Spark job's fixed cost per point read; None
+    # for in-memory indexes and non-parquet backends.
+    path: str | None = None
+    # hash-bucket count of the on-disk term dictionary (meta.json
+    # ``term_stats_buckets``); None for in-memory dictionaries.
+    term_buckets: int | None = None
 
     def prepare_for_queries(self, query_partitions: int | None = None) -> "Index":
         """Return a query-optimized handle: blocks and doc_stats
@@ -245,14 +272,26 @@ class Index:
         blocks.count(), ds.count(), stats.count()
         return Index(
             blocks=blocks, doc_stats=ds, term_stats=stats, meta=self.meta,
-            stemmer=self.stemmer,
+            stemmer=self.stemmer, path=self.path,
+            term_buckets=self.term_buckets,
         )
 
     def term_info(self, terms: list[str]) -> dict[str, tuple[float, int, int]]:
         """term -> (idf, df, ctf) for terms present in the dictionary;
-        idf computed driver-side (build.idf_map rationale)."""
+        idf computed driver-side (build.idf_map rationale). On-disk
+        bucketed dictionaries (tbucket column) add the literal bucket
+        predicate so the probe partition-prunes to the queried terms'
+        buckets before the row-group pruning."""
+        cond = F.col("term").isin(list(terms))
+        if "tbucket" in self.term_stats.columns:
+            from posik_engine_spark.operators.direct_io import term_bucket
+
+            n = self.term_buckets or spec.TERM_STATS_BUCKETS
+            cond = F.col("tbucket").isin(
+                sorted({term_bucket(t, n) for t in terms})
+            ) & cond
         rows = (
-            self.term_stats.filter(F.col("term").isin(list(terms)))
+            self.term_stats.filter(cond)
             .select("term", "df", "ctf")
             .collect()
         )
@@ -308,11 +347,19 @@ def save_index(ix: Index, path: str) -> None:
         .partitionBy("shard")
         .parquet(os.path.join(path, "doc_stats"))
     )
-    # term-sorted dictionary: big-vocab per-query term probes prune
-    # (the reference's secondary b-tree on lemma, model/Lemma.java:17)
-    ix.term_stats.repartition(1).sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "term_stats"))
+    # hash-bucketed, term-sorted dictionary: per-query term probes
+    # prune to bucket + row group (the reference's secondary b-tree on
+    # lemma, model/Lemma.java:17), and the write parallelizes across
+    # buckets instead of funnelling the vocabulary through one task
+    n_tb = spec.TERM_STATS_BUCKETS
+    (
+        with_term_bucket(ix.term_stats.select("term", "df", "ctf"), n_tb)
+        .repartition(n_tb, "tbucket")
+        .sortWithinPartitions("tbucket", "term")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(os.path.join(path, "term_stats"))
+    )
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(
             {
@@ -321,6 +368,7 @@ def save_index(ix: Index, path: str) -> None:
                 "sum_len_path": ix.meta.sum_len_path,
                 "sum_len_content": ix.meta.sum_len_content,
                 "stemmer": ix.stemmer,
+                "term_stats_buckets": n_tb,
                 "spec": {"k1": spec.K1, "b": spec.B, "block_size": spec.BLOCK_SIZE},
             },
             f,
@@ -357,4 +405,6 @@ def load_index(spark: SparkSession, path: str) -> Index:
         term_stats=spark.read.parquet(os.path.join(path, "term_stats")),
         meta=B.CorpusMeta(m["n_docs"], m["sum_len_path"], m["sum_len_content"]),
         stemmer=m.get("stemmer"),
+        path=path,
+        term_buckets=m.get("term_stats_buckets"),
     )

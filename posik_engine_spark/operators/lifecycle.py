@@ -410,6 +410,38 @@ class IndexBuilder:
     def meta_path(self) -> str:
         return os.path.join(self.out_dir, "meta.json")
 
+    def _term_buckets(self) -> int:
+        """Dictionary hash-bucket count: the value recorded in meta.json
+        (set at the stats stage) so incremental rewrites always match
+        the layout the dir was built with; spec default before meta
+        exists."""
+        try:
+            with open(self.meta_path) as f:
+                return int(
+                    json.load(f).get(
+                        "term_stats_buckets", spec.TERM_STATS_BUCKETS
+                    )
+                )
+        except FileNotFoundError:
+            return spec.TERM_STATS_BUCKETS
+
+    def _write_term_stats(self, ts: DataFrame, path: str, observe=None) -> None:
+        """Hash-bucketed dictionary write (tbucket hive partition,
+        term-sorted within buckets): per-query probes prune to bucket +
+        row group and the vocabulary write parallelizes across buckets
+        instead of funnelling through one task — round-4 verdict item 4
+        (a 10^8-10^9-term corpus dictionary must not single-task)."""
+        from posik_engine_spark.operators.index import with_term_bucket
+
+        n = self._term_buckets()
+        w = with_term_bucket(ts.select("term", "df", "ctf"), n)
+        if observe is not None:
+            w = w.observe(*observe)
+        self.backend.write(
+            w, path, partition_col="tbucket", n_partitions=n,
+            sort_cols=["tbucket", "term"],
+        )
+
     # ------------------------------------------------------------ build
     def build(self, docs: DataFrame, fail_after_batch: int | None = None) -> Index:
         """Run (or resume) the full build. Stages with existing markers
@@ -489,21 +521,10 @@ class IndexBuilder:
 
             tf = self.backend.read(self.spark, self.tf_path)
             terms_obs = Observation("terms")
-            # n_partitions=1 (repartition, NOT coalesce: coalesce would
-            # collapse the final agg itself to one task) — small
-            # dictionary files
-            self.backend.write(
-                B.term_stats(tf).observe(
-                    terms_obs, F.count(F.lit(1)).alias("terms")
-                ),
+            self._write_term_stats(
+                B.term_stats(tf),
                 self.term_stats_path,
-                n_partitions=1,
-                # term-sorted dictionary files: big-vocab engines probe
-                # this table per query with ``term IN (...)`` (the
-                # reference's secondary b-tree on lemma,
-                # model/Lemma.java:17) — sorted row groups make the
-                # probe skip the rest of the vocabulary
-                sort_cols=["term"],
+                observe=(terms_obs, F.count(F.lit(1)).alias("terms")),
             )
             ds = self.backend.read(self.spark, self.doc_stats_path)
             row = ds.agg(
@@ -521,6 +542,7 @@ class IndexBuilder:
                 "n_shards": self.n_shards,
                 "block_size": self.block_size,
                 "stemmer": self.stemmer,
+                "term_stats_buckets": self._term_buckets(),
                 "spec": {"k1": spec.K1, "b": spec.B},
             }
             with open(self.meta_path, "w") as f:
@@ -602,12 +624,23 @@ class IndexBuilder:
         self.recover_incremental()
         with open(self.meta_path) as f:
             m = json.load(f)
+        from posik_engine_spark.tables import ParquetBackend
+
         return Index(
             blocks=self.backend.read(self.spark, self.blocks_path),
             doc_stats=self.backend.read(self.spark, self.doc_stats_path),
             term_stats=self.backend.read(self.spark, self.term_stats_path),
             meta=B.CorpusMeta(m["n_docs"], m["sum_len_path"], m["sum_len_content"]),
             stemmer=m.get("stemmer", self.stemmer),
+            # plain-parquet dirs serve driver-direct point lookups
+            # (operators/direct_io.py); other backends read through
+            # their own engine
+            path=(
+                self.out_dir
+                if type(self.backend) is ParquetBackend
+                else None
+            ),
+            term_buckets=m.get("term_stats_buckets"),
         )
 
     def counters(self) -> dict[str, int]:
@@ -848,10 +881,7 @@ class IndexBuilder:
                 new_blocks, self._staging("blocks"), "shard", affected,
                 sort_cols=["term", "block_id"],
             )
-            self.backend.write(
-                new_ts, self._staging("term_stats"), n_partitions=1,
-                sort_cols=["term"],  # keep the probe-pruned layout
-            )
+            self._write_term_stats(new_ts, self._staging("term_stats"))
             # ---- phase 2: intent record, then idempotent promotes. A
             # crash between any two promotes is recovered by
             # _finish_incremental_commit() replaying from the intent
@@ -923,10 +953,7 @@ class IndexBuilder:
             # from the final on-disk state — correct, just O(corpus)
             spark = self.spark
             tf_all = self.backend.read(spark, self.tf_path)
-            self.backend.write(
-                B.term_stats(tf_all), self.term_stats_path, n_partitions=1,
-                sort_cols=["term"],
-            )
+            self._write_term_stats(B.term_stats(tf_all), self.term_stats_path)
             ds_all = self.backend.read(spark, self.doc_stats_path)
             row = ds_all.agg(
                 F.count(F.lit(1)).alias("n"),

@@ -125,11 +125,26 @@ class SearchEngine:
         optimize_for_queries: bool = True,
         index_dir: str | None = None,
         content_store=None,
+        direct_io: bool = True,
     ):
         self.spark = spark
         # builder dir backing this engine (if any): statistics() consults
         # its markers/lineage for the live isIndexing flag (A3)
         self._index_dir = index_dir
+        # driver-direct point-lookup reader over the on-disk index files
+        # (operators/direct_io.py): the serving coordinator reads the
+        # few KB a cold query touches (term blocks, ord resolution,
+        # dictionary probes) straight from parquet instead of paying a
+        # Spark job's fixed scheduling cost per point read — the round-4
+        # cold-query regression fix. Same snapshot semantics as the
+        # persisted frames; distributed paths are untouched.
+        self._direct = None
+        if direct_io:
+            from posik_engine_spark.operators import direct_io as D
+
+            p = index_dir or getattr(ix, "path", None)
+            if D.available(p):
+                self._direct = D.DirectIndexReader(p)
         # optional bucketed+sorted on-disk store: top-k content fetches
         # become partition+row-group-pruned point lookups instead of a
         # scan over the persisted corpus (operators/content_store.py) —
@@ -242,13 +257,25 @@ class SearchEngine:
                 }
             missing = [t for t in terms if t not in info]
             if missing:
-                # Spark job outside the lock (concurrent cold queries
-                # must not serialize each other); setdefault keeps a
+                # fetch outside the lock (concurrent cold queries must
+                # not serialize each other); setdefault keeps a
                 # concurrent writer's identical value. The result is
                 # assembled from the LOCAL snapshot + fetch, so a
                 # concurrent clear() between phases cannot drop a real
-                # dictionary term from this query's scoring.
-                fetched = self.ix.term_info(missing)
+                # dictionary term from this query's scoring. Direct
+                # readers probe the bucketed dictionary files in
+                # milliseconds; otherwise one pruned Spark scan.
+                if self._direct is not None:
+                    fetched = {
+                        r["term"]: (
+                            self.ix.meta.idf(int(r["df"])),
+                            int(r["df"]),
+                            int(r["ctf"]),
+                        )
+                        for r in self._direct.term_info_rows(missing)
+                    }
+                else:
+                    fetched = self.ix.term_info(missing)
                 with self._cache_lock:
                     for t in missing:
                         self._term_cache.setdefault(t, fetched.get(t))
@@ -277,6 +304,7 @@ class SearchEngine:
         index_dir: str,
         docs: DataFrame | None = None,
         content_dir: str | None = None,
+        direct_io: bool = True,
     ) -> "SearchEngine":
         """Serve from an on-disk index (IndexBuilder output or
         save_index dir). Snippet content comes from ``content_dir`` (a
@@ -292,10 +320,10 @@ class SearchEngine:
         if content_dir is not None:
             from posik_engine_spark.operators.content_store import ContentStore
 
-            store = ContentStore(spark, content_dir)
+            store = ContentStore(spark, content_dir, direct=direct_io)
         return cls(
             spark, load_index(spark, index_dir), docs,
-            index_dir=index_dir, content_store=store,
+            index_dir=index_dir, content_store=store, direct_io=direct_io,
         )
 
     # ---------------------------------------------------------- Q2/Q3
@@ -341,22 +369,37 @@ class SearchEngine:
                 self.ix, idfs, dfs, k, rows=rows,
                 resolver=self._docids_for_keys,
             )
-        return wand_topk(self.ix, idfs, dfs, k, repos=repos).collect()
+        # scoped / fat queries: distributed per-shard WAND kernel +
+        # the SAME driver finalization as above (exact tie-break, loud
+        # missing-ordinal failure, cached+pruned ord resolution) —
+        # wand_topk's all-lazy DataFrame shape stays for analytical
+        # callers (round-4 advisor: the two paths must not diverge)
+        from posik_engine_spark.operators.wand import wand_topk_rows
+
+        return wand_topk_rows(
+            self.ix, idfs, dfs, k, repos=repos,
+            resolver=self._docids_for_keys,
+        )
 
     def _docids_for_keys(self, keys: list[tuple[int, int]]) -> dict:
-        """(shard, ord) -> doc_id for the driver-WAND survivors through
-        a row-count-bounded LRU (``_cached_fetch``): misses run ONE
+        """(shard, ord) -> doc_id for the WAND survivors through a
+        row-count-bounded LRU (``_cached_fetch``): misses run ONE
         pruned doc_stats point lookup (shard partition + ord row-group
-        pruning); hits cost nothing."""
+        pruning) — driver-direct from the parquet files when the index
+        is file-backed, else a Spark job; hits cost nothing."""
         from posik_engine_spark.operators.wand import _resolve_ords_spark
 
+        if self._direct is not None:
+            fetch = self._direct.resolve_ords
+        else:
+            fetch = lambda missing: _resolve_ords_spark(self.ix, missing)  # noqa: E731
         return self._cached_fetch(
             self._docmeta_cache,
             "_docmeta_cache_rows",
             spec.DRIVER_DOCMETA_CACHE_MAX_ROWS,
             keys,
             lambda _v: 1,
-            lambda missing: _resolve_ords_spark(self.ix, missing),
+            fetch,
         )
 
     def _cached_fetch(
@@ -413,15 +456,21 @@ class SearchEngine:
 
     def _blocks_for_terms(self, terms: list[str]) -> list:
         """Collected block rows for the query terms through the bounded
-        per-term LRU (``_cached_fetch``): misses run ONE pruned scan for
-        all missing terms; hits cost nothing; terms absent from the
-        index cache as empty lists so they are never re-scanned."""
+        per-term LRU (``_cached_fetch``): misses run ONE pruned read for
+        all missing terms (driver-direct from the block files when the
+        index is file-backed, else a Spark scan); hits cost nothing;
+        terms absent from the index cache as empty lists so they are
+        never re-scanned."""
 
         def fetch(missing: list[str]) -> dict[str, list]:
             by_term: dict[str, list] = {t: [] for t in missing}
-            for r in self.ix.blocks.filter(
-                F.col("term").isin(missing)
-            ).collect():
+            if self._direct is not None:
+                rows = self._direct.blocks_for_terms(missing)
+            else:
+                rows = self.ix.blocks.filter(
+                    F.col("term").isin(missing)
+                ).collect()
+            for r in rows:
                 by_term[r["term"]].append(r)
             return by_term
 

@@ -39,6 +39,8 @@ via TakeOrderedAndProject — no cross-shard shuffle of postings, ever.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -47,7 +49,14 @@ from pyspark.sql import functions as F
 from posik_engine_spark import spec
 from posik_engine_spark.operators.index import Index, kernel_np
 
-_OUT_SCHEMA = "shard int, ord long, score double"
+log = logging.getLogger(__name__)
+
+# n_out = rows this shard emitted (constant within the shard): the
+# distributed resolution join compares it against the per-shard count
+# of RESOLVED rows, so a registry missing scored ordinals fails loudly
+# (like _finalize_topk) instead of silently truncating the top-k —
+# round-4 advisor finding.
+_OUT_SCHEMA = "shard int, ord long, score double, n_out int"
 # Scoring-chunk schedule: geometric growth from ~heap size up to the
 # vectorization sweet spot. A FIXED large chunk makes the kth-score cut
 # unreachable whenever a shard has fewer candidates than the chunk
@@ -248,6 +257,24 @@ def shard_topk(
         keep = val >= kth
         idx, val = idx[keep], val[keep]
     order = np.lexsort((cand[idx], -val))
+    cap = spec.WAND_TIE_CAP_FACTOR * k
+    if len(order) > cap:
+        # bounded keep-ties (round-4 advisor): a corpus with thousands
+        # of duplicate-content docs can tie EXACTLY at the kth score,
+        # making the survivor set (and the downstream merge/resolution)
+        # scale with the tie-group size instead of k. Beyond the cap,
+        # boundary ties break deterministically by shard-local ordinal
+        # (== (repo, path) order) instead of global doc_id; every doc
+        # strictly above the boundary score is still exact.
+        log.warning(
+            "wand shard_topk: kth-score tie group overflows the keep-"
+            "ties cap (%d survivors > %d = WAND_TIE_CAP_FACTOR*k); "
+            "boundary ties break by (repo, path) order, not doc_id",
+            len(order), cap,
+        )
+        if diag is not None:
+            diag["tie_overflow"] = diag.get("tie_overflow", 0) + 1
+        order = order[:cap]
     return pd.DataFrame({"ord": cand[idx][order], "score": val[order]})
 
 
@@ -255,7 +282,23 @@ def _resolve_ords_spark(ix: Index, keys: list[tuple[int, int]]) -> dict:
     """(shard, ord) -> doc_id via ONE pruned doc_stats lookup: shard is
     the parquet partition key and files are ord-sorted, so the OR of
     per-shard `ord IN (...)` predicates prunes partitions + row groups
-    — the same point-lookup shape as the content store."""
+    — the same point-lookup shape as the content store. Key sets past
+    spec.RESOLVE_ISIN_MAX_KEYS switch to a broadcast join of a keys
+    DataFrame instead (a giant IN literal bloats planning faster than
+    the join costs — round-4 advisor note; the keep-ties cap keeps real
+    queries far below the threshold)."""
+    if not keys:
+        return {}
+    if len(keys) > spec.RESOLVE_ISIN_MAX_KEYS:
+        kdf = ix.doc_stats.sparkSession.createDataFrame(
+            [(int(s), int(o)) for s, o in keys], "shard int, ord long"
+        )
+        rows = (
+            ix.doc_stats.join(F.broadcast(kdf), ["shard", "ord"])
+            .select("shard", "ord", "doc_id")
+            .collect()
+        )
+        return {(int(r["shard"]), int(r["ord"])): int(r["doc_id"]) for r in rows}
     by_shard: dict[int, list[int]] = {}
     for s, o in keys:
         by_shard.setdefault(int(s), []).append(int(o))
@@ -290,6 +333,21 @@ def _finalize_topk(parts: list[pd.DataFrame], k: int, resolver) -> list:
         # can still reach the top-k (score >= global kth) need doc_ids
         kth = np.partition(val, len(val) - k)[len(val) - k]
         merged = merged[val >= kth]
+    cap = spec.WAND_TIE_CAP_FACTOR * k
+    if len(merged) > cap:
+        # global twin of the shard-local keep-ties cap: bound the
+        # resolution/lookup set when the global kth-score tie group
+        # overflows (deterministic (score desc, shard, ord) truncation;
+        # see shard_topk for the semantics trade-off)
+        log.warning(
+            "wand merge: global kth-score tie group overflows the "
+            "keep-ties cap (%d survivors > %d); boundary ties break by "
+            "(shard, ord), not doc_id", len(merged), cap,
+        )
+        merged = merged.sort_values(
+            ["score", "shard", "ord"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(cap)
     keys = list(zip(merged["shard"].astype(int), merged["ord"].astype(int)))
     idmap = resolver(keys)
     missing = [key for key in keys if key not in idmap]
@@ -356,7 +414,11 @@ def wand_topk_driver(
     # bounded per-term cache — a hit serves with zero index-scan jobs)
     if not rows:
         return []
-    bpdf = pd.DataFrame([r.asDict() for r in rows])
+    # rows come as pyspark Rows (Spark collect) or plain dicts (the
+    # engine's direct pyarrow reads) — same columns either way
+    bpdf = pd.DataFrame(
+        [r.asDict() if hasattr(r, "asDict") else r for r in rows]
+    )
     if diag is not None:
         # postings_total = what a no-pruning engine would decode+score
         # (every posting of every query term); per-shard kernels add
@@ -421,42 +483,121 @@ def wand_topk(
     avgdl = ix.meta.avgdl
     idfs = dict(term_idfs)
 
+    res = _wand_shard_results(ix, terms, idfs, avgdl, k, repos)
+    # ord -> doc_id through an inner broadcast join (the tiny side is
+    # the RESULT, never the registry). An inner join would silently
+    # drop scored ordinals missing from a corrupt/stale registry where
+    # the driver path raises (round-4 advisor) — the per-shard window
+    # count vs the carried n_out turns any partial drop into a loud
+    # error baked into the score expression itself (kept un-prunable
+    # because it IS the consumed score column). A shard whose rows ALL
+    # vanish is not row-detectable here; load_index's format/intent
+    # gates and the driver path cover that corruption class.
+    from pyspark.sql import Window
+
+    resolved = (
+        ix.doc_stats.select("shard", "ord", "doc_id")
+        .join(F.broadcast(res), ["shard", "ord"])
+        .withColumn("_cnt", F.count(F.lit(1)).over(Window.partitionBy("shard")))
+    )
+    score = F.when(F.col("_cnt") == F.col("n_out"), F.col("score")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("wand top-k: shard "),
+                F.col("shard").cast("string"),
+                F.lit(" resolved "),
+                F.col("_cnt").cast("string"),
+                F.lit(" of "),
+                F.col("n_out").cast("string"),
+                F.lit(" scored ordinals (index corrupt or stale)"),
+            )
+        )
+    )
+    return (
+        resolved.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _wand_shard_results(
+    ix: Index,
+    terms: list[str],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+    repos: list[str] | None,
+) -> DataFrame:
+    """The distributed per-shard WAND kernel: grouped map over the
+    query terms' blocks emitting <= ~cap ties-kept (shard, ord, score,
+    n_out) rows per shard (n_out = the shard's emitted row count, for
+    the resolution-loss guard)."""
     qb = ix.blocks.filter(F.col("term").isin(terms))
     if repos is None:
 
         def per_shard_solo(key, blocks_pdf: pd.DataFrame) -> pd.DataFrame:
             out = shard_topk(blocks_pdf, None, terms, idfs, avgdl, k)
-            return out.assign(shard=int(key[0]))[["shard", "ord", "score"]]
+            return out.assign(shard=int(key[0]), n_out=len(out))[
+                ["shard", "ord", "score", "n_out"]
+            ]
 
-        res = qb.groupBy("shard").applyInPandas(per_shard_solo, _OUT_SCHEMA)
-    else:
+        return qb.groupBy("shard").applyInPandas(per_shard_solo, _OUT_SCHEMA)
 
-        def per_shard(key, blocks_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
-            out = shard_topk(
-                blocks_pdf, stats_pdf, terms, idfs, avgdl, k, repos=repos
-            )
-            return out.assign(shard=int(key[0]))[["shard", "ord", "score"]]
-
-        # pre-filter the cogroup's registry side to the scoped repos —
-        # shard_topk's membership test (candidate ord in the scoped
-        # frame) is unchanged by dropping rows that fail it anyway, and
-        # the per-query exchange now carries O(scoped docs), not
-        # O(corpus) (file-backed doc_stats is ord≡repo-sorted, so the
-        # predicate also prunes row groups; the driver hybrid does the
-        # identical pre-filter)
-        ds = ix.doc_stats.filter(F.col("repo").isin(list(repos))).select(
-            "shard", "ord", "repo"
+    def per_shard(key, blocks_pdf: pd.DataFrame, stats_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = shard_topk(
+            blocks_pdf, stats_pdf, terms, idfs, avgdl, k, repos=repos
         )
-        res = (
-            qb.groupBy("shard")
-            .cogroup(ds.groupBy("shard"))
-            .applyInPandas(per_shard, _OUT_SCHEMA)
-        )
-    resolved = ix.doc_stats.select("shard", "ord", "doc_id").join(
-        F.broadcast(res), ["shard", "ord"]
+        return out.assign(shard=int(key[0]), n_out=len(out))[
+            ["shard", "ord", "score", "n_out"]
+        ]
+
+    # pre-filter the cogroup's registry side to the scoped repos —
+    # shard_topk's membership test (candidate ord in the scoped
+    # frame) is unchanged by dropping rows that fail it anyway, and
+    # the per-query exchange now carries O(scoped docs), not
+    # O(corpus) (file-backed doc_stats is ord≡repo-sorted, so the
+    # predicate also prunes row groups; the driver hybrid does the
+    # identical pre-filter)
+    ds = ix.doc_stats.filter(F.col("repo").isin(list(repos))).select(
+        "shard", "ord", "repo"
     )
     return (
-        resolved.select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+        qb.groupBy("shard")
+        .cogroup(ds.groupBy("shard"))
+        .applyInPandas(per_shard, _OUT_SCHEMA)
     )
+
+
+def wand_topk_rows(
+    ix: Index,
+    term_idfs: dict[str, float],
+    term_dfs: dict[str, int],
+    k: int,
+    repos: list[str] | None = None,
+    resolver=None,
+) -> list:
+    """Distributed WAND kernel + the driver path's finalization: the
+    per-shard grouped map runs on the cluster, its <= ~cap-per-shard
+    ties-kept survivors collect to the coordinator, and the SAME
+    _finalize_topk as wand_topk_driver resolves ord -> doc_id (through
+    the caller's cached resolver, e.g. SearchEngine's bounded docmeta
+    LRU) and applies the exact global (score desc, doc_id asc) cut.
+
+    This is SearchEngine's serving path for scoped and fat queries:
+    identical failure semantics to the driver path (missing ordinals
+    raise), no per-query broadcast join, and the resolver benefits from
+    the engine's caches. wand_topk keeps the all-lazy DataFrame shape
+    for analytical callers that want the full plan (the contract oracle
+    runs it at k ~ corpus size, where collecting survivors here would
+    pull the whole match set through the coordinator twice)."""
+    terms = sorted(term_idfs, key=lambda t: (term_dfs.get(t, 0), t))
+    if not terms:
+        raise ValueError("wand_topk_rows: empty term list")
+    res = _wand_shard_results(
+        ix, terms, dict(term_idfs), ix.meta.avgdl, k, repos
+    )
+    pdf = res.toPandas()
+    parts = [pdf[["shard", "ord", "score"]]] if len(pdf) else []
+    if resolver is None:
+        resolver = lambda keys: _resolve_ords_spark(ix, keys)  # noqa: E731
+    return _finalize_topk(parts, k, resolver)

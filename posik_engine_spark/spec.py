@@ -83,6 +83,32 @@ DRIVER_CONTENT_CACHE_MAX_BYTES: int = 64 * 1024 * 1024
 # entry, so the cap bounds driver heap at ~100 MB while hot result
 # docs resolve with zero Spark jobs.
 DRIVER_DOCMETA_CACHE_MAX_ROWS: int = 2_000_000
+# Keep-ties bound (round-4 advisor, wand.py): per-shard WAND kernels
+# keep ALL candidates tied at the kth score so the global tie-break on
+# external doc_id stays exact — but a corpus with thousands of
+# duplicate-content docs can tie exactly at the boundary, making the
+# survivor set (and everything downstream: merge, resolution, join)
+# scale with the tie-group size instead of k. Survivors are therefore
+# capped at WAND_TIE_CAP_FACTOR * k (deterministic (score desc, ord
+# asc) truncation, logged + counted in diag["tie_overflow"]): beyond
+# the cap, ties at the boundary break by shard-local ordinal — i.e.
+# (repo, path) order — instead of global doc_id. Every doc ABOVE the
+# boundary score is still exact.
+WAND_TIE_CAP_FACTOR: int = 8
+# ord -> doc_id resolution switches from an `ord IN (...)` point-probe
+# predicate to a broadcast join of a keys DataFrame when the survivor
+# count exceeds this (a giant IN literal bloats planning faster than
+# the join costs — round-4 advisor note; with the tie cap above, real
+# queries stay far below it).
+RESOLVE_ISIN_MAX_KEYS: int = 8_192
+# Dictionary hash-bucket count for on-disk term_stats files
+# (pmod(crc32(term), N) hive partition): per-query dictionary probes
+# prune to one bucket + row group, and the dictionary write
+# parallelizes N-ways instead of funnelling through one task (round-4
+# verdict item 4). 16 buckets ~ 10^7 terms at comfortable file sizes;
+# a 10^9-term deployment raises it (recorded in meta.json, so readers
+# never guess).
+TERM_STATS_BUCKETS: int = 16
 # Incremental updates: joins whose matches must share the batch's repos
 # (new-or-changed detection, partial-mode stale lookup) filter the
 # on-disk doc registry to ``repo IN (batch repos)`` when the batch

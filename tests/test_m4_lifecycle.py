@@ -233,8 +233,9 @@ def test_doc_stats_files_are_repo_sorted(spark, docs_df, tmp_path_factory):
         keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
         assert keys == sorted(keys), f
 
-    # the dictionary is term-sorted for the big-vocab probe path
-    ts_files = glob.glob(os.path.join(d, "term_stats", "*.parquet"))
+    # the dictionary is hash-bucketed (tbucket hive partition) and
+    # term-sorted WITHIN each bucket for the big-vocab probe path
+    ts_files = glob.glob(os.path.join(d, "term_stats", "tbucket=*", "*.parquet"))
     assert ts_files
     for f in ts_files:
         terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
