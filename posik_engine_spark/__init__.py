@@ -32,6 +32,10 @@ _LAZY = {
         "posik_engine_spark.operators.content_store", "save_content_store"
     ),
     "ContentStore": ("posik_engine_spark.operators.content_store", "ContentStore"),
+    "IVFStore": ("posik_engine_spark.operators.similarity", "IVFStore"),
+    "save_ivf": ("posik_engine_spark.operators.similarity", "save_ivf"),
+    "rrf_fuse": ("posik_engine_spark.operators.hybrid", "rrf_fuse"),
+    "rrf_fuse_rows": ("posik_engine_spark.operators.hybrid", "rrf_fuse_rows"),
     "get_spark": ("posik_engine_spark.session", "get_spark"),
     "read_docs": ("posik_engine_spark.sources", "read_docs"),
     "SearchError": ("posik_engine_spark.oracle", "SearchError"),

@@ -266,7 +266,23 @@ def _with_exact(base: Normalizer, name: str) -> Normalizer:
     """1->N variant: index/query BOTH the normal form and the exact
     surface form when they differ — the surface form is itself a
     counted normal form (the reference counts every normal form of a
-    word), so exact-form queries keep matching on a stemmed index."""
+    word), so exact-form queries keep matching on a stemmed index.
+
+    Query-side trade-off (deliberate, = reference semantics): ALL
+    normal forms of a query word land in the AND term list — exactly
+    what the reference does with multi-lemma words
+    (LemmaUtils.java:67 flattens every normal form into the query
+    dictionary; SearchService.java:48,100-110 ANDs them). So on a
+    '+exact' index an inflected query like 'running' first requires
+    the surface form too and misses docs holding only other
+    inflections ('runs') — UNTIL the relaxation cascade (Q6,
+    search.py) drops the rarest term (usually the surface form) on an
+    empty result and retries with the bare stem, which is also the
+    reference's recovery path (findRelevantPages' lemma-dropping
+    loop). When the surface form DOES match somewhere the narrower
+    result stands un-relaxed — precision over recall, exactly like a
+    reference multi-lemma word. Choose the plain base normalizer when
+    inflected-query recall matters more than exact-form queries."""
 
     def forms(t: str, _b=base) -> tuple[str, ...]:
         out = _b(t)

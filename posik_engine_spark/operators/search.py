@@ -571,6 +571,58 @@ class SearchEngine:
             _spark=self.spark,
         )
 
+    # --------------------------------------------------- hybrid serving
+    def search_hybrid(
+        self,
+        query: str,
+        query_vec: list[float],
+        ivf,
+        *,
+        depth: int | None = None,
+        limit: int = spec.DEFAULT_LIMIT,
+        nprobe: int | None = None,
+        repo: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Serving-path hybrid retrieval: RRF-fuse this engine's BM25
+        top-``depth`` for ``query`` with ``ivf``'s (an
+        ``similarity.IVFStore``) cosine top-``depth`` for ``query_vec``
+        — the one-call wiring of the two indexes a retrieval deployment
+        actually runs (operators/hybrid.py has the math + scale shape;
+        the DataFrame twin ``hybrid.rrf_fuse`` backs the
+        ``hybrid_rrf_topk`` oracle).
+
+        Both input lists are <= depth driver rows, so the fusion runs
+        on the driver (``rrf_fuse_rows``, round-6 canonicalized —
+        identical ordering to the DataFrame path). Fully warm this
+        costs ZERO Spark jobs: the lexical side serves from the driver
+        dictionary + block/docmeta LRUs, the semantic side reads the
+        probed IVF partitions driver-direct (``IVFStore.topk_rows``).
+        The ivf store's vec_id space must be the engine's doc_id space
+        (embed the same docs you index, keyed by the same id).
+
+        No relaxation cascade: a lexical miss contributes an empty
+        list and the semantic list still ranks (hybrid's whole point);
+        only an empty/blank query string is user error. Returns
+        [(doc_id, rrf_score)] best-first, ties by doc_id asc."""
+        from posik_engine_spark.operators import hybrid
+        from posik_engine_spark.operators.similarity import DEFAULT_NPROBE
+
+        if query is None or not query.strip():
+            raise SearchError("empty query")
+        if limit <= 0:
+            raise SearchError(f"invalid limit {limit}: must be >= 1")
+        depth = hybrid.DEFAULT_DEPTH if depth is None else depth
+        nprobe = DEFAULT_NPROBE if nprobe is None else nprobe
+        repos = [repo] if repo is not None else None
+        terms = self.filter_query_terms(self._q_tokens(query))
+        lex_ids = (
+            [int(h["doc_id"]) for h in self._topk(terms, depth, repos)]
+            if terms
+            else []
+        )
+        sem_ids = [vid for vid, _ in ivf.topk_rows(query_vec, depth, nprobe)]
+        return hybrid.rrf_fuse_rows([lex_ids, sem_ids], topk=limit)
+
     # ------------------------------------------------------------- Q7
     def _correct_query_message(self, query: str, raw: list[str], terms: list[str]) -> str:
         """Echo the human-readable query rebuilt from surviving terms

@@ -464,6 +464,7 @@ class IVFStore:
         self.vec_col: str = m["vec_col"]
         self.centroids = [(i, v) for i, v in enumerate(m["centroids"])]
         self._df = spark.read.parquet(path)
+        self._direct_ds = None  # lazy pyarrow dataset (topk_rows)
 
     def probe_cids(self, query_vec: list[float], nprobe: int = DEFAULT_NPROBE) -> list[int]:
         return _probe_cids(self.centroids, query_vec, nprobe)
@@ -483,3 +484,41 @@ class IVFStore:
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(k)
         )
+
+    def topk_rows(
+        self, query_vec: list[float], k: int, nprobe: int = DEFAULT_NPROBE
+    ) -> list[tuple[int, float]]:
+        """Serving twin of ``topk``: the same probe against the same
+        parquet files read DRIVER-DIRECT through a pyarrow dataset
+        (hive pruning to the nprobe cid partitions) — a point read
+        costs milliseconds where an equivalent one-off Spark job pays
+        ~0.1-0.3 s of fixed scheduling (operators/direct_io.py has the
+        full argument). Scores/ordering are float-exact mirrors of the
+        Spark exprs (round6_half_up(cosine_py(..)) ==
+        F.round(cosine_expr(..), 6), pytest-pinned), so the two paths
+        return IDENTICAL rows. NULL cosines (zero-norm vectors) are
+        dropped — desc-nulls-last can never put them in a top-k anyway.
+        Returns [(vec_id, cosine)] best-first; zero Spark jobs."""
+        probes = set(self.probe_cids(query_vec, nprobe))
+        if self._direct_ds is None:
+            import pyarrow.dataset as pds
+
+            self._direct_ds = pds.dataset(
+                self.path, format="parquet", partitioning="hive"
+            )
+        import pyarrow.compute as pc
+
+        tbl = self._direct_ds.to_table(
+            filter=pc.field("cid").isin(sorted(probes)),
+            columns=["vec_id", self.vec_col],
+        )
+        scored = []
+        for vid, vec in zip(
+            tbl.column("vec_id").to_pylist(),
+            tbl.column(self.vec_col).to_pylist(),
+        ):
+            s = cosine_py(vec, query_vec)
+            if s is not None:
+                scored.append((-round6_half_up(s), int(vid)))
+        scored.sort()
+        return [(vid, -neg) for neg, vid in scored[:k]]

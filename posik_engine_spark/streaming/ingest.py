@@ -113,6 +113,19 @@ def _recover_docs_log(log_path: str) -> None:
     shutil.rmtree(log_path + ".compact.tmp", ignore_errors=True)
 
 
+def _read_docs_log(spark: SparkSession, log_path: str) -> DataFrame:
+    """Read the append-only docs log with ``mergeSchema`` — plain
+    ``spark.read.parquet`` samples ONE file's footer for the schema, so
+    a stream that enabled ``with_deleted`` mid-life (older log files
+    lack the ``deleted``/``_seq`` columns) could silently lose every
+    tombstone from a crash rebuild if the sampled file was an old one,
+    resurrecting deleted docs (round-4 advisor). Merging unions the
+    footers; pre-tombstone rows read NULL deleted/_seq, which
+    _surviving_log_docs already treats correctly (live rows, dropped
+    when a later tombstone exists for their path)."""
+    return spark.read.option("mergeSchema", "true").parquet(log_path)
+
+
 def _surviving_log_docs(log: DataFrame) -> DataFrame:
     """The docs a full rebuild of the log should index: deduped by
     (repo, path, commit), with tombstones applied LATEST-WINS per
@@ -161,7 +174,7 @@ def _compact_docs_log(spark: SparkSession, log_path: str, n_files: int) -> None:
     old = log_path + ".old"
     shutil.rmtree(tmp, ignore_errors=True)
     (
-        _surviving_log_docs(spark.read.parquet(log_path))
+        _surviving_log_docs(_read_docs_log(spark, log_path))
         .repartition(max(1, n_files))
         .write.mode("overwrite")
         .parquet(tmp)
@@ -258,7 +271,7 @@ def incremental_index_sink(
             # stage); build() resumes from the last committed stage and
             # consumes the whole log exactly once, tombstones applied
             builder.build(
-                _surviving_log_docs(spark.read.parquet(log_path))
+                _surviving_log_docs(_read_docs_log(spark, log_path))
                 .drop("deleted", "_seq")
             )
 

@@ -109,3 +109,130 @@ def test_rrf_fuse_rows_rounds_to_6_like_dataframe_path():
     assert out[1] == round(1 / 61 + 1 / 62, 6)
     solo = dict(rrf_fuse_rows([[7]], topk=1))
     assert solo[7] == 0.016393  # 1/61 canonicalized, not 0.0163934...
+
+
+# ------------------------- round-5: one-call serving API (verdict #3)
+
+
+def _mk_embeddings(spark, doc_ids, dim=6):
+    """Deterministic per-doc vectors KEYED BY THE ENGINE'S doc_id (the
+    search_hybrid contract: embed the docs you index, same id space)."""
+    import hashlib
+
+    def vec(d):
+        h = hashlib.md5(str(d).encode()).digest()
+        return [((h[j] / 255.0) * 2.0 - 1.0) for j in range(dim)]
+
+    return spark.createDataFrame(
+        [(int(d), vec(d)) for d in doc_ids],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_ivf_topk_rows_matches_spark_path(spark, tmp_path):
+    """IVFStore.topk_rows (driver-direct pyarrow probe) returns the
+    IDENTICAL rows as the Spark topk() DataFrame — same probes, same
+    round-6 cosine, same (cosine desc, vec_id) order — for several
+    query vectors and nprobe settings, without any Spark job."""
+    from posik_engine_spark.operators import similarity
+
+    emb = _mk_embeddings(spark, range(100, 160))
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf(emb, path, n_centroids=6, iters=1)
+    store = similarity.IVFStore(spark, path)
+    qvecs = [r["embedding"] for r in emb.orderBy("vec_id").limit(3).collect()]
+    qvecs.append([1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    for q in qvecs:
+        for nprobe in (1, 3, 6):
+            want = [
+                (r["vec_id"], r["cosine"])
+                for r in store.topk(q, k=7, nprobe=nprobe).collect()
+            ]
+            assert store.topk_rows(q, k=7, nprobe=nprobe) == want
+
+
+def test_search_hybrid_matches_dataframe_path(spark, tmp_path):
+    """The one-call serving API == the oracle-checked DataFrame path:
+    search_hybrid (driver WAND + pyarrow IVF probe + rrf_fuse_rows)
+    must order exactly like rrf_fuse(wand_topk DF, IVFStore.topk DF) —
+    each serving component vs its distributed twin, fused by the same
+    round-6 RRF the hybrid_rrf_topk oracle pins against DuckDB."""
+    from posik_engine_spark import corpus
+    from posik_engine_spark.operators import similarity, wand
+    from posik_engine_spark.operators.search import SearchEngine
+
+    docs = corpus.synthetic_docs(spark, 40, seed=17).cache()
+    with SearchEngine.from_docs(spark, docs, n_shards=2) as eng:
+        vocab = [
+            r["term"]
+            for r in eng.ix.term_stats.filter("df >= 4 AND df <= 20")
+            .orderBy(F.desc("df"), "term")
+            .limit(2)
+            .collect()
+        ]
+        assert len(vocab) == 2
+        query = " ".join(vocab)
+        doc_ids = [r["doc_id"] for r in eng.ix.doc_stats.select("doc_id").collect()]
+        emb = _mk_embeddings(spark, doc_ids)
+        path = str(tmp_path / "ivf")
+        similarity.save_ivf(emb, path, n_centroids=4, iters=1)
+        store = similarity.IVFStore(spark, path)
+        qvec = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4]
+
+        got = eng.search_hybrid(query, qvec, store, depth=15, limit=8, nprobe=2)
+
+        terms = eng.filter_query_terms(eng._q_tokens(query))
+        info = eng.ix.term_info(terms)
+        idfs = {t: v[0] for t, v in info.items()}
+        dfs = {t: v[1] for t, v in info.items()}
+        lex_df = wand.wand_topk(eng.ix, idfs, dfs, k=15)
+        sem_df = store.topk(qvec, k=15, nprobe=2)
+        want = [
+            (r["doc_id"], r["rrf"])
+            for r in hybrid.rrf_fuse(
+                lex_df, sem_df, depth=15, topk=8
+            ).collect()
+        ]
+        assert got == want
+        assert got  # non-degenerate: fusion actually returned rows
+
+
+def test_search_hybrid_fully_warm_runs_zero_jobs(spark, tmp_path):
+    """Warm repeat of the SAME hybrid call serves entirely from driver
+    state: term dict + block/docmeta LRUs (lexical), pyarrow dataset
+    (semantic) — poison every Spark-backed frame on both stores and
+    the repeat must still return the identical fusion."""
+    from posik_engine_spark import corpus
+    from posik_engine_spark.operators import similarity
+    from posik_engine_spark.operators.search import SearchEngine
+
+    class _Boom:
+        def filter(self, *a, **k):
+            raise AssertionError("warm hybrid call touched a Spark frame")
+
+    docs = corpus.synthetic_docs(spark, 24, seed=11).cache()
+    with SearchEngine.from_docs(spark, docs, n_shards=2) as eng:
+        vocab = [
+            r["term"]
+            for r in eng.ix.term_stats.filter("df >= 3 AND df <= 12")
+            .orderBy(F.desc("df"), "term")
+            .limit(1)
+            .collect()
+        ]
+        doc_ids = [r["doc_id"] for r in eng.ix.doc_stats.select("doc_id").collect()]
+        emb = _mk_embeddings(spark, doc_ids)
+        path = str(tmp_path / "ivf")
+        similarity.save_ivf(emb, path, n_centroids=3, iters=0)
+        store = similarity.IVFStore(spark, path)
+        qvec = [0.5, 0.5, -0.5, 0.2, 0.0, 1.0]
+
+        first = eng.search_hybrid(vocab[0], qvec, store, depth=10, limit=5)
+        assert first
+        real_blocks, real_df = eng.ix.blocks, store._df
+        eng.ix.blocks = _Boom()
+        store._df = _Boom()
+        try:
+            again = eng.search_hybrid(vocab[0], qvec, store, depth=10, limit=5)
+        finally:
+            eng.ix.blocks, store._df = real_blocks, real_df
+        assert again == first

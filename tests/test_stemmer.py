@@ -220,3 +220,23 @@ def test_save_load_index_roundtrip_stemmer(spark, english, tmp_path):
     path2 = str(tmp_path / "saved2")
     save_index(ix2, path2)
     assert load_index(spark, path2).stemmer is None
+
+
+def test_exact_variant_query_semantics(spark, english):
+    """'+exact' query-side contract (round-4 advisor, kept as reference
+    parity — every normal form of a query word joins the AND list,
+    LemmaUtils.java:67 / SearchService.java:48):
+
+    - exact-form precision: 'running' on a porter+exact index requires
+      the surface form too, so the 'runs'-only doc is EXCLUDED (on the
+      plain porter index it matches — tested above);
+    - relaxation recovery: an inflection whose surface form appears
+      NOWHERE ('walks'; the corpus has only 'walking') still matches
+      via the stem once the unknown surface term drops out of the AND.
+    """
+    with SearchEngine.from_docs(spark, english, n_shards=2,
+                                stemmer="porter+exact") as eng:
+        resp = eng.search("running", limit=10)
+        assert {h[2] for h in resp.hits} == {"doc/running.md"}
+        resp = eng.search("walks", limit=10)
+        assert {h[2] for h in resp.hits} == {"doc/walk.md"}

@@ -396,3 +396,32 @@ def test_same_batch_tombstone_and_readd_survives(spark, tmp_path):
         .collect()
     )
     assert [r["commit"] for r in rows] == ["c_samebatch"]
+
+
+def test_log_rebuild_merges_pre_tombstone_schema(spark, tmp_path):
+    """Round-4 advisor: a stream that enables with_deleted MID-LIFE has
+    older _docs_log files WITHOUT the deleted/_seq columns; plain
+    spark.read.parquet samples one footer, so a crash rebuild could
+    silently lose every tombstone (resurrecting deleted docs) if it
+    sampled an old file. _read_docs_log merges the footers; the
+    latest-wins view then treats pre-column rows as live docs older
+    than any tombstone."""
+    log_path = str(tmp_path / "_docs_log")
+    old_docs = [("r1", f"doc/{i}.md", "c1", "md", f"body {i}")
+                for i in range(5)]
+    spark.createDataFrame(
+        old_docs,
+        "repo string, path string, commit string, lang string, content string",
+    ).coalesce(1).write.mode("append").parquet(log_path)
+    spark.createDataFrame(
+        [("r1", "doc/2.md", "c9", "md", "", True, 1)],
+        "repo string, path string, commit string, lang string, "
+        "content string, deleted boolean, _seq long",
+    ).coalesce(1).write.mode("append").parquet(log_path)
+
+    merged = ingest._read_docs_log(spark, log_path)
+    assert "deleted" in merged.columns and "_seq" in merged.columns
+    surviving = {
+        r["path"] for r in ingest._surviving_log_docs(merged).collect()
+    }
+    assert surviving == {f"doc/{i}.md" for i in (0, 1, 3, 4)}
