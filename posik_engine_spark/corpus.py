@@ -94,7 +94,10 @@ def synthetic_docs(spark: SparkSession, n_docs: int, seed: int = 42) -> DataFram
     return spark.createDataFrame(synthetic_docs_pdf(n_docs, seed))
 
 
-def zipf_docs_pdf(n_docs: int = 20_000, n_repos: int = 20, seed: int = 7) -> pd.DataFrame:
+def zipf_docs_pdf(
+    n_docs: int = 20_000, n_repos: int = 20, seed: int = 7,
+    topical: bool = False,
+) -> pd.DataFrame:
     """Zipf-skewed corpus for WAND-pruning effectiveness scenarios.
 
     Term mix per doc: ``common0`` in every doc, ``common1..7`` with
@@ -105,7 +108,22 @@ def zipf_docs_pdf(n_docs: int = 20_000, n_repos: int = 20, seed: int = 7) -> pd.
     ordinal ranges, so an AND query pairing ``rare<r>`` with a common
     term only decodes the common term's few overlapping blocks — the
     realistic rare∧common workload shape the uniform suite in
-    BENCH_QUERIES cannot produce (its every term matches everywhere)."""
+    BENCH_QUERIES cannot produce (its every term matches everywhere).
+
+    ``topical=True`` additionally gives repos with ``r % 10 in
+    {1, 2, 3}`` a FOCUS term ``common{r%10}`` their docs repeat 3-12
+    times — the "repo about a topic" tf shape real code corpora have
+    (a JSON library says 'json' hundreds of times; everyone else says
+    it once). Focus docs cluster in ordinal ranges (ordinals are
+    (repo, path)-ordered), so their blocks carry high max-tf bounds
+    while the ~90% off-topic blocks bound at tf=1 — the variance the
+    descending-ub early-termination cut (WAND lever 3) needs on
+    common∧common AND queries, where block-RANGE pruning cannot help
+    (every block overlaps candidates). One-in-ten keeps the high-ub
+    prefix SHORT relative to the AND-survivor set; boosting most
+    repos would let the geometric scoring-chunk schedule reach the
+    whole set before the cut can fire at test/bench scale. The flag
+    leaves the rng stream of the default corpus untouched."""
     rng = random.Random(seed)
     rows: list[dict] = []
     per_repo = max(1, n_docs // n_repos)
@@ -120,6 +138,8 @@ def zipf_docs_pdf(n_docs: int = 20_000, n_repos: int = 20, seed: int = 7) -> pd.
                 words.append(f"w{rank}")
             if j < 10:
                 words.append(f"rare{r}")
+            if topical and r % 10 in (1, 2, 3):
+                words.extend([f"common{r % 10}"] * rng.randint(3, 12))
             rng.shuffle(words)
             rows.append(
                 {
@@ -134,9 +154,10 @@ def zipf_docs_pdf(n_docs: int = 20_000, n_repos: int = 20, seed: int = 7) -> pd.
 
 
 def zipf_docs(
-    spark: SparkSession, n_docs: int = 20_000, n_repos: int = 20, seed: int = 7
+    spark: SparkSession, n_docs: int = 20_000, n_repos: int = 20, seed: int = 7,
+    topical: bool = False,
 ) -> DataFrame:
-    return spark.createDataFrame(zipf_docs_pdf(n_docs, n_repos, seed))
+    return spark.createDataFrame(zipf_docs_pdf(n_docs, n_repos, seed, topical))
 
 
 def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
