@@ -160,6 +160,55 @@ def zipf_docs(
     return spark.createDataFrame(zipf_docs_pdf(n_docs, n_repos, seed, topical))
 
 
+def clustered_embeddings_pdf(
+    n_vectors: int = 2_000,
+    dim: int = 64,
+    n_clusters: int = 32,
+    sigma: float = 0.2,
+    seed: int = 5,
+) -> pd.DataFrame:
+    """Gaussian-mixture embeddings — the cluster structure real corpora
+    have (per-repo/topic embedding neighborhoods) and the testdata's
+    near-random vectors lack, which is IVF's HARDEST case (round-4
+    verdict item 5: the bench recall curve measured on near-random
+    embeddings says little about a deployment). Cluster centers are
+    unit-normalized N(0,1)^dim draws; each vector is its cluster's
+    center + N(0, sigma) noise, round-robin over clusters so every
+    cluster has ~n/k members. sigma=0.15 against unit centers keeps
+    cosine neighbors overwhelmingly within-cluster (the per-topic
+    neighborhood shape) while leaving real overlap between nearby
+    centers. Deterministic via a seeded numpy Generator; float32 like
+    the testdata embeddings."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cluster = np.arange(n_vectors) % n_clusters
+    vecs = centers[cluster] + sigma * rng.standard_normal((n_vectors, dim))
+    return pd.DataFrame(
+        {
+            "vec_id": np.arange(n_vectors, dtype=np.int64),
+            "embedding": [row.astype(np.float32).tolist() for row in vecs],
+            "cluster": cluster.astype(np.int64),
+        }
+    )
+
+
+def clustered_embeddings(
+    spark: SparkSession,
+    n_vectors: int = 2_000,
+    dim: int = 64,
+    n_clusters: int = 32,
+    sigma: float = 0.2,
+    seed: int = 5,
+) -> DataFrame:
+    return spark.createDataFrame(
+        clustered_embeddings_pdf(n_vectors, dim, n_clusters, sigma, seed),
+        "vec_id long, embedding array<float>, cluster long",
+    )
+
+
 def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Adapt the driver's documents parquet into the docs shape
     (delegates to the single identity-mapping rule in
