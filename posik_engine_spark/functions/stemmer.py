@@ -252,10 +252,22 @@ def _bilingual1(t: str) -> tuple[str, ...]:
 # phenomenon.
 TOKEN_RE_CYRILLIC: str = r"[a-zа-яё0-9]+(?:-[a-zа-яё0-9]+)*"
 
+def _russian_dict_forms(t: str) -> tuple[str, ...]:
+    # dictionary lemmas with genuinely distinct 1->N normal forms
+    # (тест -> (тест, тесто)); OOV falls back to the bilingual stem —
+    # functions/lemma_ru.py documents the reference mapping
+    from posik_engine_spark.functions.lemma_ru import dict_forms
+
+    return dict_forms(t)
+
+
 _BASE_NORMALIZERS = {
     "porter": lambda: Normalizer("porter", _porter1),
     "russian": lambda: Normalizer("russian", _russian1, TOKEN_RE_CYRILLIC),
     "bilingual": lambda: Normalizer("bilingual", _bilingual1, TOKEN_RE_CYRILLIC),
+    "russian_dict": lambda: Normalizer(
+        "russian_dict", _russian_dict_forms, TOKEN_RE_CYRILLIC
+    ),
 }
 
 # kept for introspection/tests: the plain per-token stem functions

@@ -42,13 +42,22 @@ class OracleIndex:
         ) / self.n_docs
 
 
-def build_oracle_index(rows) -> OracleIndex:
-    """rows: iterable of dicts with doc_id, repo, path, content."""
+def build_oracle_index(rows, normalizer=None) -> OracleIndex:
+    """rows: iterable of dicts with doc_id, repo, path, content.
+    ``normalizer``: an optional stemmer.Normalizer — tokens then run
+    through its alphabet + 1->N flat expansion, EXACTLY like the build
+    (count every normal form, LemmaUtils.java:67)."""
     ix = OracleIndex()
     for r in rows:
         doc_id = int(r["doc_id"])
-        pt = tokenize_py(r.get("path"))
-        ct = tokenize_py(r.get("content"))
+        if normalizer is not None:
+            pt = normalizer.flat(tokenize_py(r.get("path"), normalizer.token_re))
+            ct = normalizer.flat(
+                tokenize_py(r.get("content"), normalizer.token_re)
+            )
+        else:
+            pt = tokenize_py(r.get("path"))
+            ct = tokenize_py(r.get("content"))
         ix.n_docs += 1
         ix.sum_len_path += len(pt)
         ix.sum_len_content += len(ct)
