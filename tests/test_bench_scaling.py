@@ -58,3 +58,30 @@ def test_headline_pairs_levels_from_one_round():
 def test_empty_rounds_rejected():
     with pytest.raises(ValueError, match="runs >= 1"):
         _summarize_rounds([], 2, 8)
+
+
+def test_drift_discard_rule_and_distribution_stats():
+    """Round-4 verdict item 7: the distribution over VALID rounds
+    (combined wall <= DRIFT_DISCARD_FACTOR x best) is reported with
+    median + min; degraded-phase rounds are excluded from the stats but
+    stay visible in the all-rounds spread."""
+    clean1 = _round(354.0, 106.0)   # combined 460, eff ~0.835
+    clean2 = _round(360.0, 110.0)   # combined 470, eff ~0.818
+    clean3 = _round(370.0, 115.0)   # combined 485, eff ~0.804
+    thrashed = _round(500.0, 320.0)  # combined 820 > 1.5*460 -> discarded
+    s = _summarize_rounds([clean2, thrashed, clean1, clean3], 2, 8)
+    assert s["results"] is clean1
+    assert s["rounds_discarded"] == 1
+    assert len(s["efficiency_per_round"]) == 4      # all stay visible
+    assert len(s["efficiency_valid_rounds"]) == 3   # stats skip the outlier
+    assert s["efficiency_min"] == pytest.approx(0.804, abs=0.001)
+    assert s["efficiency_median"] == pytest.approx(0.818, abs=0.001)
+    assert s["discard_factor"] == 1.5
+
+
+def test_discard_never_removes_the_headline_round():
+    only = _round(400.0, 130.0)
+    s = _summarize_rounds([only], 2, 8)
+    assert s["rounds_discarded"] == 0
+    assert s["efficiency_valid_rounds"] == s["efficiency_per_round"]
+    assert s["efficiency_median"] == s["efficiency_min"]
