@@ -393,6 +393,24 @@ def _round_efficiency(rd: dict, n_low: int, n_high: int) -> float:
 # The rule is a constant so it cannot be tuned after seeing results.
 DRIFT_DISCARD_FACTOR: float = 1.5
 
+# PER-LEVEL drift rule — REVISED PROTOCOL, committed 2026-08-19 ~04:40
+# UTC, while round-5 scaling session 4 was still RUNNING (its results
+# unseen), so session 4 and everything later is out-of-sample for this
+# rule. Sessions 1-3 (BENCH/SESSIONS_r5.md) are its disclosed tuning
+# data: they showed the combined-wall rule above never fires because
+# the ~390 s low leg dominates combined wall, while the noise almost
+# always hits the ~120 s high leg (stretch >= 1.37x observed) and
+# clean legs cluster within ~15-25%% of the session's per-level best.
+# Rule: a round is PER-LEVEL VALID iff BOTH legs' walls are <=
+# PER_LEVEL_DISCARD_FACTOR x the session's best wall AT THAT LEVEL.
+# Headline = MEDIAN efficiency over valid rounds (pairing luck — a
+# fast-lo x degraded-hi round deflates, the mirror inflates — washes
+# out in the median where the least-wall single round cannot). A
+# session with fewer than MIN_VALID_ROUNDS valid rounds is
+# INCONCLUSIVE: too host-degraded to headline either way.
+PER_LEVEL_DISCARD_FACTOR: float = 1.3
+MIN_VALID_ROUNDS: int = 3
+
 
 def _summarize_rounds(rounds: list[dict], n_low: int, n_high: int) -> dict:
     """Headline = the least-combined-wall round (least disturbed by
@@ -408,6 +426,17 @@ def _summarize_rounds(rounds: list[dict], n_low: int, n_high: int) -> dict:
     valid = [rd for rd in rounds if wall(rd) <= cutoff]
     effs = [_round_efficiency(rd, n_low, n_high) for rd in rounds]
     valid_effs = [_round_efficiency(rd, n_low, n_high) for rd in valid]
+    # revised per-level rule (see PER_LEVEL_DISCARD_FACTOR): each leg
+    # sanity-checked against the session's best wall at ITS level
+    best_lo = min(rd[n_low]["build_sec"] for rd in rounds)
+    best_hi = min(rd[n_high]["build_sec"] for rd in rounds)
+    pl_valid = [
+        rd
+        for rd in rounds
+        if rd[n_low]["build_sec"] <= PER_LEVEL_DISCARD_FACTOR * best_lo
+        and rd[n_high]["build_sec"] <= PER_LEVEL_DISCARD_FACTOR * best_hi
+    ]
+    pl_effs = [_round_efficiency(rd, n_low, n_high) for rd in pl_valid]
     return {
         "low": n_low,
         "high": n_high,
@@ -419,6 +448,15 @@ def _summarize_rounds(rounds: list[dict], n_low: int, n_high: int) -> dict:
         "efficiency_min": round(min(valid_effs), 3),
         "rounds_discarded": len(rounds) - len(valid),
         "discard_factor": DRIFT_DISCARD_FACTOR,
+        # revised-protocol outputs (the headline rule from session 4 on)
+        "efficiency_pl_rounds": [round(e, 3) for e in pl_effs],
+        "efficiency_pl_median": (
+            round(statistics.median(pl_effs), 3) if pl_effs else None
+        ),
+        "efficiency_pl_min": round(min(pl_effs), 3) if pl_effs else None,
+        "rounds_pl_discarded": len(rounds) - len(pl_valid),
+        "pl_discard_factor": PER_LEVEL_DISCARD_FACTOR,
+        "pl_conclusive": len(pl_valid) >= MIN_VALID_ROUNDS,
     }
 
 
@@ -532,6 +570,11 @@ def write_baseline_md(
         if first_pass
         else ""
     )
+    fp_note2 = (
+        f" (this run: {statistics.median(first_pass.values()):.4f} s)"
+        if first_pass
+        else ""
+    )
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH baseline — measured on this sandbox
@@ -581,7 +624,22 @@ never by best ratio.
 | local[{hi}] | {r[hi]['build_sec']:.2f} | {r[hi]['files_per_sec']:.1f} |
 
 scaling_efficiency = (thr_high / thr_low) / ({hi}/{lo}) = **{scale['efficiency']:.3f}**
-(target >= 0.8 per BASELINE.json)
+(least-combined-wall round; target >= 0.8 per BASELINE.json)
+
+REVISED-PROTOCOL HEADLINE (per-level rule, committed mid-session-4
+before its results were seen — bench.PER_LEVEL_DISCARD_FACTOR has the
+full statement): a round is valid iff BOTH legs' walls are <=
+{scale.get('pl_discard_factor', 1.3)}x the session's best wall at that level;
+headline = median efficiency over valid rounds; < {MIN_VALID_ROUNDS}
+valid rounds = session inconclusive.
+
+| per-level statistic | value |
+|---|---|
+| valid rounds' efficiencies | {scale.get('efficiency_pl_rounds', [])} |
+| **median (headline)** | {scale.get('efficiency_pl_median')} |
+| min | {scale.get('efficiency_pl_min')} |
+| rounds discarded (per-level rule) | {scale.get('rounds_pl_discarded', 0)} |
+| conclusive (>= {MIN_VALID_ROUNDS} valid) | {scale.get('pl_conclusive')} |
 
 Distribution across {len(scale.get('efficiency_per_round', []))} paired
 rounds (round-4 verdict item 7 — the evidence is the distribution, not
@@ -645,7 +703,13 @@ round 5 — see the attribution below).
             + "\n".join(f"| {k} | {v:.3f} |" for k, v in queries.items())
             + """
 
-## Cold first-pass attribution + recovery (round 5)
+## Cold first-pass attribution + recovery (one-time, measured 2026-08-19)
+
+THIS RUN's first-pass p50 is the number beside "warm" above{fp_note2};
+the table and narrative below are the round-5 attribution experiment
+(fixed HEADs, fixed date), reproduced verbatim by every regeneration
+of this file — they are the historical record of WHY the direct-IO
+serving path exists, not a re-measurement.
 
 Round 4 regressed cold first-pass p50 2.3x (0.207 -> 0.478 s)
 unattributed. `scripts/attr_cold_query.py` times each driver-path
@@ -676,8 +740,9 @@ the zero-Spark-frame-access cold path are pinned by
 tests/test_direct_io.py. Distributed paths (scoped/fat queries, every
 analytical operator) are unchanged.
 
-Clean-window bench result: first-pass p50 **0.4779 -> 0.1366 s**
-(target was <= 0.25), warm p50 unchanged within window noise. The
+Clean-window bench result at the time (2026-08-19): first-pass p50
+**0.4779 -> 0.1366 s** (target was <= 0.25), warm p50 unchanged within
+window noise. The
 remaining cold cost is the content fetch: the bench engine serves
 snippets from the persisted in-memory corpus frame (one Spark job); a
 deployment pointing `from_index_dir(..., content_dir=...)` at a

@@ -174,7 +174,7 @@ def clustered_embeddings_pdf(
     embeddings says little about a deployment). Cluster centers are
     unit-normalized N(0,1)^dim draws; each vector is its cluster's
     center + N(0, sigma) noise, round-robin over clusters so every
-    cluster has ~n/k members. sigma=0.15 against unit centers keeps
+    cluster has ~n/k members. The default sigma=0.2 against unit centers keeps
     cosine neighbors overwhelmingly within-cluster (the per-topic
     neighborhood shape) while leaving real overlap between nearby
     centers. Deterministic via a seeded numpy Generator; float32 like

@@ -98,12 +98,14 @@ LEMMA_DICT: dict[str, tuple[str, ...]] = _compile()
 def dict_forms(token: str) -> tuple[str, ...]:
     """All dictionary normal forms of ``token`` (ё->е normalized), or
     the bilingual-stemmer 1-tuple when the token is out of dictionary —
-    see the module docstring for the reference mapping."""
-    from posik_engine_spark.functions.stemmer import porter_stem
-    from posik_engine_spark.functions.stemmer_ru import russian_stem
+    see the module docstring for the reference mapping. The OOV branch
+    delegates to the SAME ``_bilingual1`` the ``bilingual`` normalizer
+    uses, so out-of-dictionary terms share normal forms across the two
+    normalizers by construction (not by parallel implementations)."""
+    from posik_engine_spark.functions.stemmer import _bilingual1
 
     t = token.replace("ё", "е")
     hit = LEMMA_DICT.get(t)
     if hit is not None:
         return hit
-    return (porter_stem(russian_stem(t)),)
+    return _bilingual1(t)

@@ -100,3 +100,22 @@ class ContentStore:
         if self._direct is not None:
             return self._direct.fetch(ids)
         return {r["doc_id"]: r for r in self.lookup_plan(ids).collect()}
+
+    def repos_for_ids(self, ids: list[int]) -> dict[int, str]:
+        """doc_id -> repo for a bounded id batch — the same pruned point
+        read as ``fetch`` but touching only the two slim columns (no
+        content bytes). Serves scope checks (e.g. repo-scoped hybrid
+        retrieval) where fetching document text would waste the read."""
+        if not ids:
+            return {}
+        if self._direct is not None:
+            return self._direct.repos_for_ids(ids)
+        buckets = sorted({i % self.n_buckets for i in ids})
+        rows = (
+            self._df.filter(
+                F.col("bucket").isin(buckets) & F.col("doc_id").isin(list(ids))
+            )
+            .select("doc_id", "repo")
+            .collect()
+        )
+        return {int(r["doc_id"]): r["repo"] for r in rows}

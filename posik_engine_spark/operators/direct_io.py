@@ -213,3 +213,25 @@ class DirectContentReader:
             columns=cols,
         )
         return {int(r["doc_id"]): Row(**r) for r in tbl.to_pylist()}
+
+    def repos_for_ids(self, ids: list[int]) -> dict[int, str]:
+        """doc_id -> repo, same bucket + row-group pruning as ``fetch``
+        but reading only the two slim columns (scope checks must not
+        pay for content bytes)."""
+        import pyarrow.compute as pc
+
+        if not ids:
+            return {}
+        buckets = sorted({int(i) % self.n_buckets for i in ids})
+        tbl = self._ds().to_table(
+            filter=pc.field("bucket").isin(buckets)
+            & pc.field("doc_id").isin([int(i) for i in ids]),
+            columns=["doc_id", "repo"],
+        )
+        return {
+            int(d): r
+            for d, r in zip(
+                tbl.column("doc_id").to_pylist(),
+                tbl.column("repo").to_pylist(),
+            )
+        }

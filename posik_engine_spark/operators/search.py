@@ -602,8 +602,19 @@ class SearchEngine:
 
         No relaxation cascade: a lexical miss contributes an empty
         list and the semantic list still ranks (hybrid's whole point);
-        only an empty/blank query string is user error. Returns
-        [(doc_id, rrf_score)] best-first, ties by doc_id asc."""
+        only an empty/blank query string is user error.
+
+        ``repo`` scopes BOTH lists: the lexical side pre-filters its
+        registry (same as ``search``); the semantic side over-fetches
+        the global cosine top-(spec.HYBRID_SCOPE_OVERFETCH * depth),
+        resolves those candidates' repos through the content store's
+        slim (doc_id, repo) point read, and keeps the first ``depth``
+        in-scope hits with COMPACTED ranks — symmetric with the lexical
+        scoping, where ranks also count only in-scope docs. Scoped
+        semantic recall is bounded by the over-fetch (spec.py has the
+        trade-off); docs missing from the content source (deleted) are
+        treated as out of scope. Returns [(doc_id, rrf_score)]
+        best-first, ties by doc_id asc."""
         from posik_engine_spark.operators import hybrid
         from posik_engine_spark.operators.similarity import DEFAULT_NPROBE
 
@@ -620,8 +631,43 @@ class SearchEngine:
             if terms
             else []
         )
-        sem_ids = [vid for vid, _ in ivf.topk_rows(query_vec, depth, nprobe)]
+        if repos is None:
+            sem_ids = [
+                int(vid) for vid, _ in ivf.topk_rows(query_vec, depth, nprobe)
+            ]
+        else:
+            cand = [
+                int(vid)
+                for vid, _ in ivf.topk_rows(
+                    query_vec, spec.HYBRID_SCOPE_OVERFETCH * depth, nprobe
+                )
+            ]
+            rmap = self._repos_for_ids(cand)
+            want = set(repos)
+            sem_ids = [v for v in cand if rmap.get(v) in want][:depth]
         return hybrid.rrf_fuse_rows([lex_ids, sem_ids], topk=limit)
+
+    def _repos_for_ids(self, ids: list[int]) -> dict[int, str]:
+        """doc_id -> repo for a bounded candidate batch (scope checks):
+        a slim two-column point read — content-store pruned lookup when
+        the engine has one, else the pruned corpus scan. Never fetches
+        content bytes."""
+        if not ids:
+            return {}
+        if self._store is not None:
+            return self._store.repos_for_ids(ids)
+        if self._content is None:
+            raise SearchError(
+                "repo-scoped hybrid retrieval needs a content source to "
+                "resolve candidate repos: construct the engine with "
+                "docs=... or content_dir=..."
+            )
+        rows = (
+            self._content.filter(F.col("doc_id").isin(list(ids)))
+            .select("doc_id", "repo")
+            .collect()
+        )
+        return {int(r["doc_id"]): r["repo"] for r in rows}
 
     # ------------------------------------------------------------- Q7
     def _correct_query_message(self, query: str, raw: list[str], terms: list[str]) -> str:

@@ -496,9 +496,12 @@ class IVFStore:
         full argument). Scores/ordering are float-exact mirrors of the
         Spark exprs (round6_half_up(cosine_py(..)) ==
         F.round(cosine_expr(..), 6), pytest-pinned), so the two paths
-        return IDENTICAL rows. NULL cosines (zero-norm vectors) are
-        dropped — desc-nulls-last can never put them in a top-k anyway.
-        Returns [(vec_id, cosine)] best-first; zero Spark jobs."""
+        return IDENTICAL rows — including NULL cosines (zero-norm
+        vectors): Spark's ``desc`` is NULLS LAST, so when the probed
+        partitions hold fewer than k non-null matches the DataFrame
+        twin pads the tail with (vec_id asc, cosine=NULL) rows, and
+        this path does the same (cosine=None). Returns
+        [(vec_id, cosine_or_None)] best-first; zero Spark jobs."""
         probes = set(self.probe_cids(query_vec, nprobe))
         if self._direct_ds is None:
             import pyarrow.dataset as pds
@@ -512,13 +515,22 @@ class IVFStore:
             filter=pc.field("cid").isin(sorted(probes)),
             columns=["vec_id", self.vec_col],
         )
-        scored = []
+        scored: list[tuple[float, int]] = []
+        nulls: list[int] = []
         for vid, vec in zip(
             tbl.column("vec_id").to_pylist(),
             tbl.column(self.vec_col).to_pylist(),
         ):
             s = cosine_py(vec, query_vec)
-            if s is not None:
+            if s is None:
+                nulls.append(int(vid))
+            else:
                 scored.append((-round6_half_up(s), int(vid)))
         scored.sort()
-        return [(vid, -neg) for neg, vid in scored[:k]]
+        out: list[tuple[int, float | None]] = [
+            (vid, -neg) for neg, vid in scored[:k]
+        ]
+        if len(out) < k and nulls:
+            nulls.sort()
+            out.extend((vid, None) for vid in nulls[: k - len(out)])
+        return out

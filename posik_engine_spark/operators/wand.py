@@ -451,7 +451,12 @@ def wand_topk_driver(
         if len(part):
             parts.append(part.assign(shard=int(shard)))
         if diag is not None:
-            for key in ("postings_decoded", "candidates", "candidates_scored"):
+            for key in (
+                "postings_decoded",
+                "candidates",
+                "candidates_scored",
+                "tie_overflow",
+            ):
                 diag[key] = diag.get(key, 0) + int(sdiag.get(key, 0))
     if resolver is None:
         resolver = lambda keys: _resolve_ords_spark(ix, keys)  # noqa: E731

@@ -95,6 +95,16 @@ DRIVER_DOCMETA_CACHE_MAX_ROWS: int = 2_000_000
 # (repo, path) order — instead of global doc_id. Every doc ABOVE the
 # boundary score is still exact.
 WAND_TIE_CAP_FACTOR: int = 8
+# Repo-scoped hybrid retrieval over-fetch: the IVF store is partitioned
+# by centroid, not by repo, so a scoped semantic list is produced by
+# over-fetching the global cosine top-(factor*depth), resolving those
+# candidates' repos through the content store's slim (doc_id, repo)
+# point read, and keeping the first `depth` in-scope hits. Recall under
+# scoping is bounded by the over-fetch: a repo holding none of the
+# global top-(factor*depth) contributes an empty semantic list (the
+# lexical list still ranks). Deployments where scoped ANN recall is a
+# hard requirement should partition a per-scope IVF store instead.
+HYBRID_SCOPE_OVERFETCH: int = 4
 # ord -> doc_id resolution switches from an `ord IN (...)` point-probe
 # predicate to a broadcast join of a keys DataFrame when the survivor
 # count exceeds this (a giant IN literal bloats planning faster than

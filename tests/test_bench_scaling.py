@@ -85,3 +85,34 @@ def test_discard_never_removes_the_headline_round():
     assert s["rounds_discarded"] == 0
     assert s["efficiency_valid_rounds"] == s["efficiency_per_round"]
     assert s["efficiency_median"] == s["efficiency_min"]
+
+
+def test_per_level_rule_discards_either_legs_outlier():
+    """Revised protocol (committed mid-session-4, results unseen): a
+    round is valid iff BOTH legs are within PER_LEVEL_DISCARD_FACTOR of
+    the session's best wall at that level — the combined-wall rule
+    never fires on a degraded ~120 s high leg because the ~390 s low
+    leg dominates combined wall (the session-2 design-flaw note)."""
+    clean1 = _round(390.0, 110.0)   # eff ~0.886
+    clean2 = _round(400.0, 115.0)   # eff ~0.870
+    clean3 = _round(395.0, 118.0)   # eff ~0.837
+    bad_hi = _round(388.0, 170.0)   # hi 170 > 1.3*110 -> discarded
+    bad_lo = _round(560.0, 112.0)   # lo 560 > 1.3*390 -> discarded (inflated eff!)
+    s = _summarize_rounds([clean1, bad_hi, clean2, bad_lo, clean3], 2, 8)
+    # combined rule misses bad_hi (558 < 1.5*500) — per-level catches it
+    assert s["rounds_discarded"] < 2 <= s["rounds_pl_discarded"]
+    assert s["rounds_pl_discarded"] == 2
+    assert len(s["efficiency_pl_rounds"]) == 3
+    assert s["pl_conclusive"] is True
+    assert s["efficiency_pl_median"] == pytest.approx(0.870, abs=0.001)
+    assert s["efficiency_pl_min"] == pytest.approx(0.837, abs=0.001)
+
+
+def test_per_level_rule_inconclusive_below_min_valid():
+    clean = _round(390.0, 110.0)
+    bad1 = _round(390.0, 170.0)
+    bad2 = _round(560.0, 112.0)
+    s = _summarize_rounds([clean, bad1, bad2], 2, 8)
+    assert s["rounds_pl_discarded"] == 2
+    assert s["pl_conclusive"] is False          # 1 valid < MIN_VALID_ROUNDS
+    assert s["efficiency_pl_median"] is not None  # stats still reported

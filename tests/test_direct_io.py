@@ -360,3 +360,35 @@ def test_resolve_switches_to_join_past_isin_threshold(spark, docs, monkeypatch):
     monkeypatch.setattr(spec, "RESOLVE_ISIN_MAX_KEYS", 10)
     via_join = W._resolve_ords_spark(ix, keys)
     assert via_isin == via_join and set(via_join) == set(keys)
+
+
+def test_tie_overflow_propagates_to_driver_diag(spark, dup_ix, monkeypatch):
+    """wand_topk_driver must surface the per-shard tie_overflow counter
+    in its merged diag (round-5 review finding): monitoring reads ONLY
+    the merged diag, and a silent truncation of boundary ties is
+    exactly the event it exists to observe."""
+    monkeypatch.setattr(spec, "WAND_TIE_CAP_FACTOR", 3)
+    info = dup_ix.term_info(["alpha"])
+    diag: dict = {}
+    W.wand_topk_driver(
+        dup_ix,
+        {"alpha": info["alpha"][0]},
+        {"alpha": info["alpha"][1]},
+        k=5,
+        diag=diag,
+    )
+    assert diag.get("tie_overflow", 0) >= 1
+
+
+def test_repos_for_ids_matches_fetch_on_both_paths(spark, contentdir):
+    """The slim (doc_id, repo) point read agrees with fetch()'s repo
+    column on the pyarrow-direct path AND the Spark fallback, including
+    absent ids (simply not returned, like fetch)."""
+    direct = ContentStore(spark, contentdir)
+    via_spark = ContentStore(spark, contentdir, direct=False)
+    ids = [r["doc_id"] for r in direct._df.select("doc_id").limit(7).collect()]
+    probe = ids + [999_999_999_001]  # absent id
+    want = {i: r["repo"] for i, r in direct.fetch(ids).items()}
+    assert direct.repos_for_ids(probe) == want
+    assert via_spark.repos_for_ids(probe) == want
+    assert direct.repos_for_ids([]) == {}

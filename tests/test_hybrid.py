@@ -236,3 +236,90 @@ def test_search_hybrid_fully_warm_runs_zero_jobs(spark, tmp_path):
         finally:
             eng.ix.blocks, store._df = real_blocks, real_df
         assert again == first
+
+
+def test_ivf_topk_rows_pads_null_cosines_like_spark(spark, tmp_path):
+    """Under-filled probes (round-5 review finding): zero-norm vectors
+    score NULL cosine, and Spark's desc is NULLS LAST — so when probed
+    partitions hold fewer than k non-null matches, topk() pads the
+    tail with (vec_id asc, cosine=NULL) rows. topk_rows must return
+    the IDENTICAL rows, not drop the NULLs."""
+    from posik_engine_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+            (2, [0.0] * 6),  # zero-norm -> NULL cosine
+            (3, [0.0] * 6),
+            (4, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    path = str(tmp_path / "ivf")
+    similarity.save_ivf(emb, path, n_centroids=1, iters=0)
+    store = similarity.IVFStore(spark, path)
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    want = [
+        (r["vec_id"], r["cosine"]) for r in store.topk(q, k=4, nprobe=1).collect()
+    ]
+    got = store.topk_rows(q, k=4, nprobe=1)
+    assert got == want
+    assert [v for v, c in got if c is None] == [2, 3]  # padded tail, id asc
+    # k small enough that non-null rows fill it: no padding appears
+    assert store.topk_rows(q, k=2, nprobe=1) == want[:2]
+    # zero-norm QUERY vector: every cosine NULL, both paths agree
+    qz = [0.0] * 6
+    wantz = [
+        (r["vec_id"], r["cosine"]) for r in store.topk(qz, k=3, nprobe=1).collect()
+    ]
+    assert store.topk_rows(qz, k=3, nprobe=1) == wantz == [(1, None), (2, None), (3, None)]
+
+
+def test_search_hybrid_repo_scope_filters_both_lists(spark, tmp_path):
+    """repo= scopes BOTH fusion inputs (round-5 review finding): a
+    semantic candidate from another repo must never reach the fused
+    ranking. The scoped semantic list is the over-fetched global top-k
+    filtered to the scope with COMPACTED ranks — symmetric with the
+    lexical side, whose ranks also count only in-scope docs."""
+    from posik_engine_spark import corpus, spec
+    from posik_engine_spark.operators import similarity
+    from posik_engine_spark.operators.search import SearchEngine
+
+    docs = corpus.synthetic_docs(spark, 40, seed=17).cache()
+    with SearchEngine.from_docs(spark, docs, n_shards=2) as eng:
+        meta = eng.ix.doc_stats.select("doc_id", "repo").collect()
+        scope = "repo-00"
+        in_scope = {int(r["doc_id"]) for r in meta if r["repo"] == scope}
+        assert in_scope and len(in_scope) < len(meta)
+        emb = _mk_embeddings(spark, [int(r["doc_id"]) for r in meta])
+        path = str(tmp_path / "ivf")
+        similarity.save_ivf(emb, path, n_centroids=4, iters=1)
+        store = similarity.IVFStore(spark, path)
+        qvec = [0.3, -0.2, 0.9, 0.1, -0.5, 0.4]
+        depth = 10
+        # precondition: the UNSCOPED semantic top-depth must contain an
+        # out-of-scope doc, or this test cannot observe a leak
+        unscoped = [v for v, _ in store.topk_rows(qvec, depth, nprobe=4)]
+        assert any(v not in in_scope for v in unscoped)
+        vocab = [
+            r["term"]
+            for r in eng.ix.term_stats.filter("df >= 4 AND df <= 25")
+            .orderBy(F.desc("df"), "term")
+            .limit(1)
+            .collect()
+        ]
+        got = eng.search_hybrid(
+            vocab[0], qvec, store, depth=depth, limit=20, nprobe=4, repo=scope
+        )
+        assert got and all(d in in_scope for d, _ in got)
+        # and the ranking equals the manual fusion of the two scoped lists
+        terms = eng.filter_query_terms(eng._q_tokens(vocab[0]))
+        lex_ids = [int(h["doc_id"]) for h in eng._topk(terms, depth, [scope])]
+        cand = [
+            int(v)
+            for v, _ in store.topk_rows(
+                qvec, spec.HYBRID_SCOPE_OVERFETCH * depth, nprobe=4
+            )
+        ]
+        sem_ids = [v for v in cand if v in in_scope][:depth]
+        assert got == hybrid.rrf_fuse_rows([lex_ids, sem_ids], topk=20)
