@@ -969,6 +969,15 @@ def main(argv: list[str] | None = None) -> int:
             runs=args.runs, inflate=args.inflate,
         )
         result["scaling_efficiency"] = round(scale["efficiency"], 4)
+        # revised-protocol outputs (the headline rule from session 4 on
+        # — bench.PER_LEVEL_DISCARD_FACTOR has the statement)
+        result["scaling_pl"] = {
+            "rounds": scale["efficiency_pl_rounds"],
+            "median": scale["efficiency_pl_median"],
+            "min": scale["efficiency_pl_min"],
+            "discarded": scale["rounds_pl_discarded"],
+            "conclusive": scale["pl_conclusive"],
+        }
         write_baseline_md(args.sf_dir, scale, timings, cpus=args.cpus,
                           wand=wand_diag, wand_skew=skew_diag,
                           wand_common=common_diag,
