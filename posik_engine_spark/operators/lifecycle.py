@@ -41,6 +41,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +105,50 @@ def _pointer_update(out_dir: str, record: dict) -> None:
             os.replace(tmp, os.path.join(d, "_latest.json"))
     finally:
         lf.close()  # releases the flock
+
+
+# Writer liveness: a RUNNING `_latest.json` pointer is only evidence of
+# live work while its writer keeps proving liveness — a hard-killed
+# process never overwrites the pointer, and without a liveness signal
+# the dir would report INDEXING forever (round-4 advisor finding). Each
+# in-flight _Stage refreshes `_lineage/_heartbeat` every
+# _HEARTBEAT_INTERVAL seconds from a daemon thread; build_status treats
+# a RUNNING pointer whose heartbeat is older than LIVENESS_WINDOW as a
+# dead writer and falls back to the newest FINISHED lineage record (the
+# pre-round-4 behavior for exactly this case). The window is 4
+# intervals so a GC pause or scheduling hiccup on the writer cannot
+# flap the status.
+_HEARTBEAT_INTERVAL: float = 15.0
+LIVENESS_WINDOW: float = 4 * _HEARTBEAT_INTERVAL
+
+
+def _heartbeat_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_lineage", "_heartbeat")
+
+
+def _beat(out_dir: str) -> None:
+    try:
+        with open(_heartbeat_path(out_dir), "w") as f:
+            f.write(f"{time.time():.6f}")
+    except OSError:
+        pass  # liveness is best-effort; never fail the build over it
+
+
+def _writer_alive(out_dir: str) -> bool:
+    """True iff the RUNNING pointer's writer showed life within
+    LIVENESS_WINDOW: fresh heartbeat file, or (legacy dirs written
+    before heartbeats existed) a fresh `_latest.json` pointer mtime —
+    every stage start and streaming micro-batch rewrites the pointer,
+    so a long-stale pointer file means a dead or wedged writer."""
+    for p in (
+        _heartbeat_path(out_dir),
+        os.path.join(out_dir, "_lineage", "_latest.json"),
+    ):
+        try:
+            return (time.time() - os.path.getmtime(p)) <= LIVENESS_WINDOW
+        except OSError:
+            continue
+    return False
 
 
 def _lineage_write(out_dir: str, record: dict) -> None:
@@ -198,12 +243,18 @@ def build_status(out_dir: str | None) -> dict:
     # pointer at stage START (the reference sets the site INDEXING at
     # crawl start), so the same statistics() payload can never say
     # status=FAILED while total.isIndexing=true — round-3 advisor
-    # finding. An idle dir whose last attempt failed still reports
-    # FAILED (partial markers alone are not evidence of live work; a
-    # hard-killed process leaves a stale RUNNING pointer until the
-    # next attempt writes over it — files cannot prove liveness).
+    # finding. The RUNNING pointer is believed only while its writer
+    # proves liveness (heartbeat within LIVENESS_WINDOW — round-4
+    # advisor: a hard-killed process never overwrites the pointer, so
+    # an unbounded RUNNING would report INDEXING forever); a dead
+    # writer's dir falls back to its newest FINISHED attempt, exactly
+    # the pre-pointer behavior for that case.
     if last is not None and last["state"] == "RUNNING":
-        return {"status": "INDEXING", "status_time": ts, "error": None}
+        if _writer_alive(out_dir):
+            return {"status": "INDEXING", "status_time": ts, "error": None}
+        recs = sorted(read_lineage(out_dir), key=lambda r: r["finished_at"])
+        last = recs[-1] if recs else None
+        ts = last["finished_at"] if last is not None else ts
     if last is not None and last["state"] == "FAILED":
         return {
             "status": "FAILED",
@@ -244,9 +295,23 @@ class _Stage:
                 "counters": {},
             },
         )
+        # liveness heartbeat while the stage runs (see _writer_alive):
+        # a daemon thread so a hard kill stops the beats with the stage
+        _beat(self.out_dir)
+        self._hb_stop = threading.Event()
+        self._hb_thread = threading.Thread(
+            target=self._heartbeat_loop, daemon=True
+        )
+        self._hb_thread.start()
         return self
 
+    def _heartbeat_loop(self) -> None:
+        while not self._hb_stop.wait(_HEARTBEAT_INTERVAL):
+            _beat(self.out_dir)
+
     def __exit__(self, exc_type, exc, tb):
+        self._hb_stop.set()
+        self._hb_thread.join(timeout=2.0)
         rec = {
             "stage": self.stage,
             "partition_ids": self.partition_ids,
