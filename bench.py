@@ -624,20 +624,24 @@ conclusive session with the least-degraded valid rounds under the
 pre-stated cross-session selection (inconclusive sessions never
 headline; a later session replaces this number only if it is
 conclusive AND its valid rounds' median combined wall is lower).
-BENCH/SESSIONS_r5.md is the full audit trail: seven sessions, every
+BENCH/SESSIONS_r5.md is the full audit trail: eight sessions, every
 rule committed before the measurement it governs, the revised
 per-level rule (bench.PER_LEVEL_DISCARD_FACTOR: both legs <= 1.3x the
 session's per-level best wall; headline = median over valid rounds;
 < 3 valid = inconclusive) committed mid-session-4 before its later
-rounds existed. Conclusive sessions: 1 (pl median **0.870**) and 2
-(**0.860**); sessions 3-7 inconclusive (host-degraded windows — the
-vmstat side logs attribute the noise to host capacity dilution plus
-5-s steal peaks to 23-41%, largely invisible from inside the guest).
-Caveat stated plainly: the conclusive sessions are the rule's tuning
-data; all five out-of-sample sessions (3 retroactively, 4-7
-genuinely) were inconclusive — the rule refused every degraded
-window, in both the deflating and inflating directions, and passed
-none. Supporting evidence that the true efficiency sits
+rounds existed. Conclusive sessions: 1 (pl median **0.870**, valid-
+round median combined wall 490.5 s), 2 (**0.860**, 504.2 s) and 8
+(**0.590**, 519.9 s); sessions 3-7 inconclusive (host-degraded
+windows, refused — the vmstat side logs attribute the noise to host
+capacity dilution plus 5-s steal peaks to 23-41%, largely invisible
+from inside the guest). Caveat stated plainly: sessions 1-2 are the
+rule's tuning data; of the six out-of-sample sessions, five were
+refused and the one conclusive one (8) measured 0.590 in a window
+whose hi legs ran 1.2-1.5x slower than the clean sessions' (absolute
+walls 148-158 s vs 103-136 s, identical code — a stable host
+capacity cap at the 8-core level, which the per-level rule by design
+cannot refuse and the wall-based cross-session selection accounts
+for). Supporting evidence that the true efficiency sits
 at ~0.8+: clean-window rounds across sessions agree (0.938, 0.870,
 0.860, 0.877) and the outlier-robust per-level median-throughput
 cross-checks give 0.814 / 0.768.
